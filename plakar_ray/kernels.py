@@ -1,0 +1,415 @@
+"""Vectorized whole-document CDC boundary kernels (NumPy).
+
+Each kernel returns the full sequence of chunk *lengths* for one document,
+reproducing the reference's Next()-stream semantics byte-exactly
+(chunkers.go:160-190): windows of at most MaxSize, every non-final chunk in
+[MinSize, MaxSize], a short tail ends the stream.
+
+Vectorization strategy (differential-tested against plakar_ray.oracle):
+
+* Gear-hash algorithms (FastCDC / JC / Stadia) exploit the window-64 identity:
+  fp after byte i is Sigma_{j<64} G[b_{i-j}] << j (mod 2^64) once >=64 bytes
+  have accumulated, because a 64-bit left shift annihilates older terms. The
+  whole-buffer array F of those window hashes is computed with a log-doubling
+  scan (6 shifted adds), cut *candidates* are extracted once with np.nonzero,
+  and a sparse per-chunk resolution loop walks the candidates. Only warm-up
+  positions (< 64 bytes into a scan segment) need exact short-window hashes,
+  computed per segment with a <=63x63 shifted outer-product matrix.
+* UltraCDC uses a prefix-sum of per-byte Hamming distances to 0xAA, giving the
+  sliding 8-byte window distance at every byte in O(1); equal-window runs (the
+  low-entropy path) come from a prefix-sum over byte-equality at lag 8.
+
+No Python loop ever iterates bytes in steady state; loops iterate chunks and
+sparse candidate/event lists only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from plakar_ray.gear import GEAR, GEAR64_STADIA
+from plakar_ray.opts import (
+    ULTRACDC_LEST,
+    ULTRACDC_MASK_L,
+    ULTRACDC_MASK_S,
+    ChunkerOpts,
+)
+
+_U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# Shift exponent matrix for warm-up windows: SHIFTS[d, k] = d - k (clamped at
+# 0), valid where k <= d. Built once; sliced per warm-up length.
+_WARM = 64
+_sh = np.arange(_WARM)
+_SHIFTS = np.maximum(_sh[:, None] - _sh[None, :], 0).astype(np.uint64)
+_VALID = (_sh[:, None] >= _sh[None, :])
+
+
+def _gear_window64(h: np.ndarray) -> np.ndarray:
+    """F[i] = Sigma_{j=0}^{63} h[i-j] << j (mod 2^64), prefix-truncated for
+    i < 63, via log-doubling: 6 shifted adds instead of 64."""
+    f = h.copy()
+    for k in range(6):
+        s = 1 << k
+        if s >= f.shape[0]:
+            break
+        f[s:] += np.left_shift(f[:-s], _U64(s))
+    return f
+
+
+def _warm_fps(h_seg: np.ndarray) -> np.ndarray:
+    """Exact short-window fingerprints for one scan segment's warm-up: given
+    gear values h_seg (length L <= 63) starting at the segment's first scanned
+    byte, return fp[d] = Sigma_{j<=d} h_seg[d-j] << j for d = 0..L-1."""
+    L = h_seg.shape[0]
+    m = np.where(_VALID[:L, :L], np.left_shift(h_seg[None, :], _SHIFTS[:L, :L]), _U64(0))
+    return m.sum(axis=1, dtype=np.uint64)
+
+
+def boundaries_fixed(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
+    total = data.shape[0]
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    size = opts.normal_size
+    n_full, tail = divmod(total, size)
+    lengths = np.full(n_full + (1 if tail else 0), size, dtype=np.int64)
+    if tail:
+        lengths[-1] = tail
+    return lengths
+
+
+def boundaries_fastcdc(
+    data: np.ndarray,
+    opts: ChunkerOpts,
+    mask_s: int,
+    mask_l: int,
+    gear: np.ndarray = GEAR,
+) -> np.ndarray:
+    """FastCDC (fastcdc.go:225-253) over a whole document."""
+    total = int(data.shape[0])
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    if total <= min_size:
+        return np.array([total], dtype=np.int64)
+
+    h = gear[data]
+    f = _gear_window64(h)
+    ms, ml = _U64(mask_s), _U64(mask_l)
+    cand_mask = ((f & ms) == 0) | ((f & ml) == 0)
+    cand_idx = np.nonzero(cand_mask)[0]
+    cand_f = f[cand_idx]
+    del f, cand_mask
+
+    lengths: list[int] = []
+    s = 0
+    n_cand = cand_idx.shape[0]
+    while s < total:
+        n = min(total - s, max_size)
+        if n <= min_size:
+            lengths.append(n)
+            break
+        normal_eff = normal_size if n > normal_size else n
+
+        scan_start = s + min_size
+        warm_end = min(scan_start + 63, s + n)
+        cut = -1
+        # Warm-up: fp has seen < 64 bytes; exact short-window check.
+        L = warm_end - scan_start
+        if L > 0:
+            fps = _warm_fps(h[scan_start:warm_end])
+            rel = np.arange(min_size, min_size + L)
+            masks = np.where(rel < normal_eff, ms, ml)
+            hits = np.nonzero((fps & masks) == 0)[0]
+            if hits.shape[0]:
+                cut = scan_start + int(hits[0])
+        if cut < 0:
+            # Steady state: walk precomputed candidates.
+            j = int(np.searchsorted(cand_idx, warm_end))
+            end = s + n
+            while j < n_cand:
+                p = int(cand_idx[j])
+                if p >= end:
+                    break
+                m = ms if (p - s) < normal_eff else ml
+                if (cand_f[j] & m) == 0:
+                    cut = p
+                    break
+                j += 1
+        cut_len = (cut - s) if cut >= 0 else n
+        lengths.append(cut_len)
+        s += cut_len
+    return np.asarray(lengths, dtype=np.int64)
+
+
+def boundaries_jc(
+    data: np.ndarray,
+    opts: ChunkerOpts,
+    mask_c: int,
+    mask_j: int,
+    jump_length: int,
+    spec_faithful: bool,
+    gear: np.ndarray = GEAR,
+) -> np.ndarray:
+    """JC jump chunking (jc.go:205-244) over a whole document. fp resets to 0
+    after every jump, so each chunk is a chain of scan *segments*; each segment
+    has a warm-up (<64 bytes, exact matrix fps) and a steady tail (window-64
+    candidates). All events (cuts and jumps) live at maskJ candidates because
+    maskJ subset maskC."""
+    total = int(data.shape[0])
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+
+    h = gear[data]
+    f = _gear_window64(h)
+    mc, mj = _U64(mask_c), _U64(mask_j)
+    cand_idx = np.nonzero((f & mj) == 0)[0]
+    cand_f = f[cand_idx]
+    del f
+
+    lengths: list[int] = []
+    s = 0
+    n_cand = cand_idx.shape[0]
+    while s < total:
+        n = min(total - s, max_size)
+        if not spec_faithful and n <= normal_size:
+            # Legacy: final sub-NormalSize segment returned whole (jc.go:219-223).
+            lengths.append(n)
+            break
+        if n <= min_size:
+            # Spec path's implicit min guard: loop from MinSize >= n returns n.
+            lengths.append(n)
+            break
+
+        end = s + n
+        cut = -1
+        seg = s + min_size  # current scan segment start (fp == 0 before it)
+        while seg < end:
+            # Warm-up for this segment.
+            warm_end = min(seg + 63, end)
+            event = -1  # absolute position of first maskJ hit
+            event_fp = _U64(0)
+            L = warm_end - seg
+            if L > 0:
+                fps = _warm_fps(h[seg:warm_end])
+                hits = np.nonzero((fps & mj) == 0)[0]
+                if hits.shape[0]:
+                    event = seg + int(hits[0])
+                    event_fp = fps[hits[0]]
+            if event < 0:
+                j = int(np.searchsorted(cand_idx, warm_end))
+                while j < n_cand:
+                    p = int(cand_idx[j])
+                    if p >= end:
+                        break
+                    event = p
+                    event_fp = cand_f[j]
+                    break
+            if event < 0:
+                break  # no event: chunk runs to end
+            if (event_fp & mc) == 0:
+                cut = event
+                break
+            # Jump: fp = 0, i += jumpLength (jc.go:236-238).
+            seg = event + jump_length
+
+        if cut >= 0:
+            cut_len = cut - s
+        else:
+            # return min(i, n): i may have jumped past n (jc.go:243).
+            cut_len = n
+        lengths.append(cut_len)
+        s += cut_len
+        if cut_len < min_size:
+            break
+    return np.asarray(lengths, dtype=np.int64)
+
+
+_POPCOUNT_AA = np.array([bin(b ^ 0xAA).count("1") for b in range(256)], dtype=np.int64)
+
+
+def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool) -> np.ndarray:
+    """UltraCDC (ultracdc.go:101-240) over a whole document.
+
+    dist at checked byte p is the Hamming-to-0xAA sum over data[p-8:p],
+    obtained from a prefix sum; this holds across skipped (equal) windows
+    because an equal window contributes an equal sum. Low-entropy forced cuts
+    come from runs of lag-8 byte equality: a chain of k consecutive equal
+    8-byte windows is exactly an 8k-long lag-8-equal run."""
+    total = int(data.shape[0])
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+
+    hpc = _POPCOUNT_AA[data]
+    prefix = np.concatenate(([0], np.cumsum(hpc)))  # prefix[p] = sum h[0:p]
+    # dist(p) = prefix[p] - prefix[p-8], defined for p >= 8.
+    dist = prefix[8:] - prefix[:-8]  # dist index q -> byte position p = q + 8
+    msl = ULTRACDC_MASK_L  # subset of mask_s: superset of candidate positions
+    cand_idx = np.nonzero((dist & msl) == 0)[0] + 8  # absolute byte positions
+    cand_dist = dist[cand_idx - 8]
+    del dist
+
+    # Lag-8 equality runs. beq[p] (p>=8): data[p] == data[p-8]. Window at i
+    # equals window at i-8 iff beq holds over [i, i+8).
+    beq = np.zeros(total, dtype=bool)
+    if total > 8:
+        beq[8:] = data[8:] == data[:-8]
+    ceq = np.concatenate(([0], np.cumsum(beq)))  # ceq[p] = count of beq[0:p]
+
+    def window_equal(i: int) -> bool:
+        return ceq[i + 8] - ceq[i] == 8
+
+    # Maximal all-true beq runs [a, b) for forced-cut search.
+    if total:
+        d = np.diff(beq.astype(np.int8))
+        run_starts = np.nonzero(d == 1)[0] + 1
+        run_ends = np.nonzero(d == -1)[0] + 1
+        if beq[0]:
+            run_starts = np.concatenate(([0], run_starts))
+        if beq[-1]:
+            run_ends = np.concatenate((run_ends, [total]))
+    else:
+        run_starts = run_ends = np.empty(0, dtype=np.int64)
+
+    lengths: list[int] = []
+    s = 0
+    n_cand = cand_idx.shape[0]
+    while s < total:
+        n = min(total - s, max_size)
+        if n <= min_size or n < min_size + 8:
+            lengths.append(n)
+            break
+        normal_eff = normal_size if n > normal_size else n
+        grid0 = s + min_size + 8
+        last_win = s + n - 8  # largest window start (loop: i <= n-8)
+
+        # Earliest forced low-entropy cut: first grid window chain of LEST
+        # consecutive equal windows. A chain lives inside one beq run [a, b):
+        # window i equal iff a <= i and i + 8 <= b.
+        forced_win = -1
+        if run_starts.shape[0]:
+            ri = int(np.searchsorted(run_ends, grid0, side="right"))
+            while ri < run_starts.shape[0]:
+                a, b = int(run_starts[ri]), int(run_ends[ri])
+                if a > last_win:
+                    break
+                # First grid-aligned window fully inside [a, b) and >= grid0;
+                # the chain of equal windows runs from there.
+                base = max(grid0, a)
+                off = (base - grid0) % 8
+                if off:
+                    base += 8 - off
+                fw = base + (ULTRACDC_LEST - 1) * 8
+                if fw + 8 <= b and fw <= last_win:
+                    forced_win = fw
+                    break
+                ri += 1
+
+        # Earliest valid candidate cut.
+        cut = -1
+        j = int(np.searchsorted(cand_idx, grid0))
+        while j < n_cand:
+            p = int(cand_idx[j])
+            if p > s + n - 1:
+                break
+            win = grid0 + ((p - grid0) // 8) * 8
+            if win > last_win:
+                break
+            if forced_win >= 0 and win > forced_win:
+                break  # forced cut happens first
+            if window_equal(win):
+                j += 1
+                continue  # checks skipped inside an equal window
+            d_here = int(cand_dist[j])
+            mask = ULTRACDC_MASK_S if (win - s) < normal_eff else ULTRACDC_MASK_L
+            if (d_here & mask) == 0:
+                cut = (win + 8) if spec_faithful else p
+                break
+            j += 1
+
+        # The candidate walk stops before any window past forced_win, so a
+        # found cut always happens in an earlier window than the forced cut.
+        if cut >= 0:
+            cut_len = cut - s
+        elif forced_win >= 0:
+            cut_len = forced_win + 8 - s
+        else:
+            cut_len = n
+        lengths.append(cut_len)
+        s += cut_len
+        if cut_len < min_size:
+            break
+    return np.asarray(lengths, dtype=np.int64)
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values."""
+    out = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (_U64(1) << _U64(s))
+        out[big] += s
+        v = np.where(big, v >> _U64(s), v)
+    out[x != 0] += 1
+    return out
+
+
+def boundaries_stadia(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
+    """FastCDC4Stadia (fastcdc4stadia.go:77-149) over a whole document.
+
+    With MinSize >= 64 the all-ones seed is annihilated by the time checks
+    begin, so the hash at every check position i is exactly the window-64 gear
+    hash of the 64 bytes ending at i-1. The regression path (no
+    threshold match before MaxSize) reduces to: the last check position whose
+    hash bit-length equals the running minimum; the final hash competes too.
+    """
+    total = int(data.shape[0])
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+
+    thresh = _U64(0xFFFFFFFFFFFFFFFF) // _U64(normal_size - min_size + 1)
+    h = GEAR64_STADIA[data]
+    f = _gear_window64(h)
+    cand_idx = np.nonzero(f <= thresh)[0]  # hash F[p] checked at i = p+1
+
+    lengths: list[int] = []
+    s = 0
+    while s < total:
+        n = min(total - s, max_size)
+        if n <= min_size:
+            lengths.append(n)
+            break
+        # First i in [min, n) with F[s+i-1] <= thresh. (Any below-threshold
+        # hash always passes the regression gate; see module docstring.)
+        lo = int(np.searchsorted(cand_idx, s + min_size - 1))
+        cut = -1
+        if lo < cand_idx.shape[0]:
+            p = int(cand_idx[lo])
+            if p < s + n - 1:
+                cut = p + 1 - s
+        if cut < 0:
+            # Regression: hashes at checks i = min..n-1 are F[s+min-1 : s+n-1];
+            # the final hash (after the last add) is F[s+n-1].
+            window = f[s + min_size - 1 : s + n]
+            bl = _bitlen_u64(window)
+            checks = bl[:-1]
+            final_bl = int(bl[-1])
+            run_min = np.minimum.accumulate(checks)
+            mn = int(run_min[-1])
+            if final_bl <= mn:
+                cut = n
+            else:
+                last = int(np.nonzero(checks == mn)[0][-1])
+                # regressionLen updates only when bl <= running min at that
+                # point, which for the last occurrence of the global min is
+                # always true.
+                cut = min_size + last
+        lengths.append(cut)
+        s += cut
+        if cut < min_size:
+            break
+    return np.asarray(lengths, dtype=np.int64)
