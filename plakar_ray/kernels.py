@@ -25,6 +25,8 @@ sparse candidate/event lists only.
 
 from __future__ import annotations
 
+from bisect import bisect_left, bisect_right
+
 import numpy as np
 
 from plakar_ray.gear import GEAR, GEAR64_STADIA
@@ -56,6 +58,43 @@ def _gear_window64(h: np.ndarray) -> np.ndarray:
             break
         f[s:] += np.left_shift(f[:-s], _U64(s))
     return f
+
+
+# Tile size for candidate extraction: arrays stay cache-resident so the
+# 6-pass doubling scan does not round-trip DRAM per pass.
+_TILE = 1 << 17
+
+
+def _gear_candidates(data: np.ndarray, gear: np.ndarray, test) -> tuple[list, list]:
+    """Scan the whole buffer tile-by-tile (63-byte overlap keeps the window-64
+    hash exact across tile edges) and return (positions, hash values) of all
+    positions where test(F) holds, as Python lists for fast resolution."""
+    n = data.shape[0]
+    idx_parts: list[np.ndarray] = []
+    f_parts: list[np.ndarray] = []
+    for start in range(0, n, _TILE):
+        lo = max(0, start - 63)
+        hi = min(n, start + _TILE)
+        f = _gear_window64(gear[data[lo:hi]])
+        seg = f[start - lo :]
+        rel = np.nonzero(test(seg))[0]
+        if rel.shape[0]:
+            idx_parts.append(rel + start)
+            f_parts.append(seg[rel])
+    if not idx_parts:
+        return [], []
+    return (
+        np.concatenate(idx_parts).tolist(),
+        np.concatenate(f_parts).tolist(),
+    )
+
+
+def _gear_f_range(data: np.ndarray, gear: np.ndarray, a: int, b: int) -> np.ndarray:
+    """Exact window-64 gear hashes for positions [a, b) only."""
+    lo = max(0, a - 63)
+    return _gear_window64(gear[data[lo:b]])[a - lo :]
+
+
 
 
 def _warm_fps(h_seg: np.ndarray) -> np.ndarray:
@@ -94,17 +133,16 @@ def boundaries_fastcdc(
     if total <= min_size:
         return np.array([total], dtype=np.int64)
 
-    h = gear[data]
-    f = _gear_window64(h)
     ms, ml = _U64(mask_s), _U64(mask_l)
-    cand_mask = ((f & ms) == 0) | ((f & ml) == 0)
-    cand_idx = np.nonzero(cand_mask)[0]
-    cand_f = f[cand_idx]
-    del f, cand_mask
+    cand_pos, cand_fp = _gear_candidates(
+        data, gear, lambda f: ((f & ms) == 0) | ((f & ml) == 0)
+    )
+    ims, iml = int(mask_s), int(mask_l)
 
     lengths: list[int] = []
     s = 0
-    n_cand = cand_idx.shape[0]
+    n_cand = len(cand_pos)
+    j = 0
     while s < total:
         n = min(total - s, max_size)
         if n <= min_size:
@@ -118,7 +156,7 @@ def boundaries_fastcdc(
         # Warm-up: fp has seen < 64 bytes; exact short-window check.
         L = warm_end - scan_start
         if L > 0:
-            fps = _warm_fps(h[scan_start:warm_end])
+            fps = _warm_fps(gear[data[scan_start:warm_end]])
             rel = np.arange(min_size, min_size + L)
             masks = np.where(rel < normal_eff, ms, ml)
             hits = np.nonzero((fps & masks) == 0)[0]
@@ -126,14 +164,15 @@ def boundaries_fastcdc(
                 cut = scan_start + int(hits[0])
         if cut < 0:
             # Steady state: walk precomputed candidates.
-            j = int(np.searchsorted(cand_idx, warm_end))
+            j = bisect_left(cand_pos, warm_end, j)
             end = s + n
+            switch = s + normal_eff
             while j < n_cand:
-                p = int(cand_idx[j])
+                p = cand_pos[j]
                 if p >= end:
                     break
-                m = ms if (p - s) < normal_eff else ml
-                if (cand_f[j] & m) == 0:
+                m = ims if p < switch else iml
+                if (cand_fp[j] & m) == 0:
                     cut = p
                     break
                 j += 1
@@ -162,16 +201,13 @@ def boundaries_jc(
     if total == 0:
         return np.empty(0, dtype=np.int64)
 
-    h = gear[data]
-    f = _gear_window64(h)
     mc, mj = _U64(mask_c), _U64(mask_j)
-    cand_idx = np.nonzero((f & mj) == 0)[0]
-    cand_f = f[cand_idx]
-    del f
+    cand_pos, cand_fp = _gear_candidates(data, gear, lambda f: (f & mj) == 0)
+    imc = int(mask_c)
 
     lengths: list[int] = []
     s = 0
-    n_cand = cand_idx.shape[0]
+    n_cand = len(cand_pos)
     while s < total:
         n = min(total - s, max_size)
         if not spec_faithful and n <= normal_size:
@@ -190,26 +226,22 @@ def boundaries_jc(
             # Warm-up for this segment.
             warm_end = min(seg + 63, end)
             event = -1  # absolute position of first maskJ hit
-            event_fp = _U64(0)
+            event_fp = 0
             L = warm_end - seg
             if L > 0:
-                fps = _warm_fps(h[seg:warm_end])
+                fps = _warm_fps(gear[data[seg:warm_end]])
                 hits = np.nonzero((fps & mj) == 0)[0]
                 if hits.shape[0]:
                     event = seg + int(hits[0])
-                    event_fp = fps[hits[0]]
+                    event_fp = int(fps[hits[0]])
             if event < 0:
-                j = int(np.searchsorted(cand_idx, warm_end))
-                while j < n_cand:
-                    p = int(cand_idx[j])
-                    if p >= end:
-                        break
-                    event = p
-                    event_fp = cand_f[j]
-                    break
+                j = bisect_left(cand_pos, warm_end)
+                if j < n_cand and cand_pos[j] < end:
+                    event = cand_pos[j]
+                    event_fp = cand_fp[j]
             if event < 0:
                 break  # no event: chunk runs to end
-            if (event_fp & mc) == 0:
+            if (event_fp & imc) == 0:
                 cut = event
                 break
             # Jump: fp = 0, i += jumpLength (jc.go:236-238).
@@ -244,39 +276,52 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
         return np.empty(0, dtype=np.int64)
 
     hpc = _POPCOUNT_AA[data]
-    prefix = np.concatenate(([0], np.cumsum(hpc)))  # prefix[p] = sum h[0:p]
-    # dist(p) = prefix[p] - prefix[p-8], defined for p >= 8.
-    dist = prefix[8:] - prefix[:-8]  # dist index q -> byte position p = q + 8
+    prefix = np.cumsum(hpc, dtype=np.int32)  # prefix[p] = sum h[0:p+1]
+    del hpc
+    # dist(p) = sum h[p-8:p] = prefix[p-1] - prefix[p-9], at byte position
+    # p = q + 8 for dist index q.
+    dist = prefix[7:-1].copy()
+    dist[1:] -= prefix[:-9]
+    del prefix
     msl = ULTRACDC_MASK_L  # subset of mask_s: superset of candidate positions
-    cand_idx = np.nonzero((dist & msl) == 0)[0] + 8  # absolute byte positions
-    cand_dist = dist[cand_idx - 8]
-    del dist
+    cand_rel = np.nonzero((dist & msl) == 0)[0]
+    cand_pos = (cand_rel + 8).tolist()  # absolute byte positions
+    cand_dist = dist[cand_rel].tolist()
+    del dist, cand_rel
 
     # Lag-8 equality runs. beq[p] (p>=8): data[p] == data[p-8]. Window at i
-    # equals window at i-8 iff beq holds over [i, i+8).
-    beq = np.zeros(total, dtype=bool)
+    # equals window at i-8 iff beq holds over [i, i+8), i.e. [i, i+8) lies
+    # inside a maximal beq run.
     if total > 8:
+        beq = np.zeros(total, dtype=bool)
         beq[8:] = data[8:] == data[:-8]
-    ceq = np.concatenate(([0], np.cumsum(beq)))  # ceq[p] = count of beq[0:p]
+        d = np.diff(beq.astype(np.int8))
+        run_starts = (np.nonzero(d == 1)[0] + 1).tolist()
+        run_ends = (np.nonzero(d == -1)[0] + 1).tolist()
+        if beq[0]:
+            run_starts = [0] + run_starts
+        if beq[-1]:
+            run_ends = run_ends + [total]
+        del beq, d
+    else:
+        run_starts = run_ends = []
 
     def window_equal(i: int) -> bool:
-        return ceq[i + 8] - ceq[i] == 8
+        ri = bisect_right(run_starts, i) - 1
+        return ri >= 0 and run_ends[ri] >= i + 8
 
-    # Maximal all-true beq runs [a, b) for forced-cut search.
-    if total:
-        d = np.diff(beq.astype(np.int8))
-        run_starts = np.nonzero(d == 1)[0] + 1
-        run_ends = np.nonzero(d == -1)[0] + 1
-        if beq[0]:
-            run_starts = np.concatenate(([0], run_starts))
-        if beq[-1]:
-            run_ends = np.concatenate((run_ends, [total]))
-    else:
-        run_starts = run_ends = np.empty(0, dtype=np.int64)
+    # Only runs that can hold a full LEST chain of aligned windows can ever
+    # force a cut (chain needs >= 512 bytes inside the run).
+    chain_span = ULTRACDC_LEST * 8
+    long_runs = [
+        (a, b) for a, b in zip(run_starts, run_ends) if b - a >= chain_span
+    ]
+    long_ends = [b for _, b in long_runs]
 
     lengths: list[int] = []
     s = 0
-    n_cand = cand_idx.shape[0]
+    n_cand = len(cand_pos)
+    n_runs = len(long_runs)
     while s < total:
         n = min(total - s, max_size)
         if n <= min_size or n < min_size + 8:
@@ -290,10 +335,10 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
         # consecutive equal windows. A chain lives inside one beq run [a, b):
         # window i equal iff a <= i and i + 8 <= b.
         forced_win = -1
-        if run_starts.shape[0]:
-            ri = int(np.searchsorted(run_ends, grid0, side="right"))
-            while ri < run_starts.shape[0]:
-                a, b = int(run_starts[ri]), int(run_ends[ri])
+        if n_runs:
+            ri = bisect_right(long_ends, grid0)
+            while ri < n_runs:
+                a, b = long_runs[ri]
                 if a > last_win:
                     break
                 # First grid-aligned window fully inside [a, b) and >= grid0;
@@ -310,9 +355,9 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
 
         # Earliest valid candidate cut.
         cut = -1
-        j = int(np.searchsorted(cand_idx, grid0))
+        j = bisect_left(cand_pos, grid0)
         while j < n_cand:
-            p = int(cand_idx[j])
+            p = cand_pos[j]
             if p > s + n - 1:
                 break
             win = grid0 + ((p - grid0) // 8) * 8
@@ -323,9 +368,8 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
             if window_equal(win):
                 j += 1
                 continue  # checks skipped inside an equal window
-            d_here = int(cand_dist[j])
             mask = ULTRACDC_MASK_S if (win - s) < normal_eff else ULTRACDC_MASK_L
-            if (d_here & mask) == 0:
+            if (cand_dist[j] & mask) == 0:
                 cut = (win + 8) if spec_faithful else p
                 break
             j += 1
@@ -372,12 +416,13 @@ def boundaries_stadia(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
 
     thresh = _U64(0xFFFFFFFFFFFFFFFF) // _U64(normal_size - min_size + 1)
-    h = GEAR64_STADIA[data]
-    f = _gear_window64(h)
-    cand_idx = np.nonzero(f <= thresh)[0]  # hash F[p] checked at i = p+1
+    # hash F[p] is checked at i = p+1
+    cand_pos, _ = _gear_candidates(data, GEAR64_STADIA, lambda f: f <= thresh)
+    n_cand = len(cand_pos)
 
     lengths: list[int] = []
     s = 0
+    j = 0
     while s < total:
         n = min(total - s, max_size)
         if n <= min_size:
@@ -385,16 +430,16 @@ def boundaries_stadia(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
             break
         # First i in [min, n) with F[s+i-1] <= thresh. (Any below-threshold
         # hash always passes the regression gate; see module docstring.)
-        lo = int(np.searchsorted(cand_idx, s + min_size - 1))
+        j = bisect_left(cand_pos, s + min_size - 1, j)
         cut = -1
-        if lo < cand_idx.shape[0]:
-            p = int(cand_idx[lo])
+        if j < n_cand:
+            p = cand_pos[j]
             if p < s + n - 1:
                 cut = p + 1 - s
         if cut < 0:
             # Regression: hashes at checks i = min..n-1 are F[s+min-1 : s+n-1];
             # the final hash (after the last add) is F[s+n-1].
-            window = f[s + min_size - 1 : s + n]
+            window = _gear_f_range(data, GEAR64_STADIA, s + min_size - 1, s + n)
             bl = _bitlen_u64(window)
             checks = bl[:-1]
             final_bl = int(bl[-1])

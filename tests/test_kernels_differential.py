@@ -1,0 +1,88 @@
+"""Differential tests: vectorized kernels vs scalar oracles.
+
+Mirrors the reference's optimized-vs-reference-loop strategy
+(chunkers/fastcdc/reference_test.go:31-122, jc/reference_test.go:28-105,
+ultracdc/reference_test.go:87-147): same configs, fill patterns and boundary
+lengths, cutpoint-for-cutpoint equality.
+"""
+
+import numpy as np
+import pytest
+
+from plakar_ray.opts import ChunkerOpts
+from plakar_ray.oracle import chunk_lengths_oracle
+from plakar_ray.registry import chunk_lengths
+
+ALGOS = [
+    "fastcdc",
+    "fastcdc-v1.0.0",
+    "jc",
+    "jc-v1.0.0",
+    "jc-v1.1.0",
+    "ultracdc",
+    "ultracdc-v1.0.0",
+    "fastcdc4stadia",
+    "fixed-v1.0.0",
+]
+
+PROFILES = [
+    ChunkerOpts(64, 512, 128),
+    ChunkerOpts(256, 4096, 1024),
+    ChunkerOpts(2048, 65536, 8192),
+]
+
+_rng = np.random.default_rng(42)
+_RANDOM = _rng.integers(0, 256, 400_000, dtype=np.uint8).tobytes()
+
+
+def _make(pattern: str, n: int) -> bytes:
+    if pattern == "random":
+        return _RANDOM[:n]
+    if pattern == "zeros":
+        return bytes(n)
+    if pattern == "repeat":
+        return (b"plakar" * (n // 6 + 1))[:n]
+    if pattern == "sparse":
+        b = bytearray(n)
+        for i in range(0, n, 997):
+            b[i] = i & 0xFF
+        return bytes(b)
+    raise ValueError(pattern)
+
+
+# Boundary lengths around min/normal/max plus a multi-chunk length.
+LENGTHS = [0, 1, 63, 64, 65, 127, 128, 129, 500, 4096, 65535, 65536, 65537, 300_000]
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+@pytest.mark.parametrize("pattern", ["random", "zeros", "repeat", "sparse"])
+def test_kernel_matches_oracle(algo, pattern):
+    for opts in PROFILES:
+        if algo == "fixed-v1.0.0":
+            opts = ChunkerOpts(0, 0, 1024)
+        for n in LENGTHS:
+            data = _make(pattern, n)
+            want = chunk_lengths_oracle(algo, data, opts)
+            got = chunk_lengths(algo, data, opts).tolist()
+            assert got == want, (algo, pattern, n, opts)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_invariants(algo):
+    """Reconstruction + size bounds, as tests/chunkers_test.go:35-1095."""
+    opts = ChunkerOpts(256, 4096, 1024)
+    if algo == "fixed-v1.0.0":
+        opts = ChunkerOpts(0, 0, 1024)
+    data = _make("random", 200_000)
+    lengths = chunk_lengths(algo, data, opts).tolist()
+    assert sum(lengths) == len(data)
+    spec_min = 1024 if algo == "fixed-v1.0.0" else 256
+    spec_max = 1024 if algo == "fixed-v1.0.0" else 4096
+    for l in lengths[:-1]:
+        assert spec_min <= l <= spec_max
+    assert lengths[-1] <= spec_max
+
+
+def test_empty_input_no_chunks():
+    for algo in ALGOS:
+        assert chunk_lengths(algo, b"", None).tolist() == []
