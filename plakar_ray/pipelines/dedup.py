@@ -1,0 +1,265 @@
+"""Deduplication pipelines: exact, MinHash/LSH near-dup clustering, resync.
+
+The flagship pipeline (SURVEY.md §3.4):
+
+    documents -> MinHashStage (fused CDC-chunk shingles -> signature, actor
+    pool) -> BandStage flat-map -> groupby(band_id, band_hash[, salt]) ->
+    star candidate edges -> union-find -> clusters (id, cluster_id=min id)
+
+Exact dedup is a text-digest groupby (the distributed form of the
+reference's `seen` set, cmd/cdc/stats.go:122-155, applied at document
+granularity); resync re-expresses cmd/cdc/resync.go per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from plakar_ray.functions.arrowbytes import byte_views
+from plakar_ray.opts import ChunkerOpts
+from plakar_ray.sources.pages import apply_insertions
+from plakar_ray.stages.chunk import ChunkerStage, default_pool_size
+from plakar_ray.stages.lsh import candidate_pairs
+from plakar_ray.stages.minhash import minhash_signatures
+from plakar_ray.state.unionfind import connected_components_ds
+
+
+# ------------------------------------------------------------ exact dedup ---
+
+
+def _text_digest_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    data, offsets = byte_views(batch.column(text_col))
+    n = len(batch)
+    digs = []
+    mv = memoryview(data)
+    for i in range(n):
+        digs.append(hashlib.md5(mv[offsets[i] : offsets[i + 1]]).hexdigest())
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "text_md5": pa.array(digs),
+            "nbytes": pa.array(
+                (offsets[1:] - offsets[:-1]).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def exact_dup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, group_id) where group_id = min id among byte-identical texts.
+    One groupby shuffle keyed on the text digest."""
+    digests = ds.map_batches(
+        lambda b: _text_digest_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column(id_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "group_id": pa.array(np.full(ids.shape[0], ids[0]), type=pa.int64()),
+            }
+        )
+
+    return digests.groupby("text_md5").map_groups(emit, batch_format="pyarrow")
+
+
+def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Corpus-level exact-dedup metrics (document granularity analogue of the
+    reference's measure: distinct-by-digest counts and byte ratio)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    digests = ds.map_batches(
+        lambda b: _text_digest_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    totals = digests.aggregate(Count(), Sum("nbytes"))
+    n_docs = int(totals["count()"])
+    total_bytes = int(totals["sum(nbytes)"] or 0)
+    uniq = digests.groupby("text_md5").min("nbytes")
+    u = uniq.aggregate(Count(), Sum("min(nbytes)"))
+    n_distinct = int(u["count()"])
+    unique_bytes = int(u["sum(min(nbytes))"] or 0)
+    return pa.table(
+        {
+            "n_docs": [n_docs],
+            "n_distinct": [n_distinct],
+            "n_dup_docs": [n_docs - n_distinct],
+            "total_bytes": [total_bytes],
+            "unique_bytes": [unique_bytes],
+            "dedup_ratio": [unique_bytes / total_bytes if total_bytes else 0.0],
+        }
+    )
+
+
+# --------------------------------------------------------- near-dup (LSH) ---
+
+
+def near_dup_pairs(
+    ds,
+    algo: str = "fastcdc",
+    opts: ChunkerOpts | None = None,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 1337,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int | None = None,
+    concurrency=None,
+):
+    """documents -> candidate near-dup edge Dataset (id_a, id_b)."""
+    sigs = minhash_signatures(
+        ds, algo=algo, opts=opts, num_perm=num_perm, seed=seed,
+        id_col=id_col, text_col=text_col, concurrency=concurrency,
+    )
+    return candidate_pairs(
+        sigs, bands=bands, id_col=id_col, salt_buckets=salt_buckets
+    )
+
+
+def near_dup_clusters(
+    ds,
+    algo: str = "fastcdc",
+    opts: ChunkerOpts | None = None,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 1337,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int | None = None,
+    concurrency=None,
+) -> pa.Table:
+    """Flagship: near-duplicate clusters (id, cluster_id = min member id).
+    Union-find runs driver-side over the edge Dataset's batches (edges ~
+    #dup-docs, orders of magnitude below the corpus; see
+    state/unionfind.label_propagation for the all-distributed variant)."""
+    edges = near_dup_pairs(
+        ds, algo, opts, num_perm, bands, seed, id_col, text_col,
+        salt_buckets=salt_buckets, concurrency=concurrency,
+    )
+    comp = connected_components_ds(edges)
+    if not comp:
+        return pa.table(
+            {id_col: pa.array([], type=pa.int64()), "cluster_id": pa.array([], type=pa.int64())}
+        )
+    ids = sorted(comp)
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array([comp[i] for i in ids], type=pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- resync ---
+
+
+class ResyncStage:
+    """Per-document edit-resilience (cmd/cdc/resync.go:39-147): chunk the
+    original and an edited copy (k seeded insertions of m bytes), return the
+    fraction of edited bytes carried by chunks whose digest exists in the
+    original. Map-only: both versions of a document live in its row."""
+
+    def __init__(
+        self,
+        algo: str,
+        opts: ChunkerOpts | None = None,
+        edits: int = 16,
+        edit_size: int = 1,
+        seed: int = 1,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.chunker = ChunkerStage(algo, opts, id_col=id_col, text_col=text_col)
+        self.edits = edits
+        self.edit_size = edit_size
+        self.seed = seed
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _digest_set(self, doc: np.ndarray) -> tuple[dict, int]:
+        lengths = self.chunker.chunk_doc(doc)
+        out: dict[bytes, int] = {}
+        total = 0
+        if lengths.shape[0]:
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            mv = memoryview(doc)
+            for a, b in zip(starts.tolist(), ends.tolist()):
+                out[hashlib.sha256(mv[a:b]).digest()] = b - a
+                total += b - a
+        return out, total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = byte_views(batch.column(self.text_col))
+        n = len(batch)
+        shared = np.zeros(n, dtype=np.float64)
+        n_orig = np.zeros(n, dtype=np.int32)
+        n_edit = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            doc = data[offsets[i] : offsets[i + 1]]
+            orig_set, _ = self._digest_set(doc)
+            edited = apply_insertions(
+                doc.tobytes(), self.edits, self.edit_size, self.seed
+            )
+            edited_set, edited_bytes = self._digest_set(
+                np.frombuffer(edited, dtype=np.uint8)
+            )
+            shared_bytes = sum(
+                ln for d, ln in edited_set.items() if d in orig_set
+            )
+            shared[i] = shared_bytes / edited_bytes if edited_bytes else 0.0
+            n_orig[i] = len(orig_set)
+            n_edit[i] = len(edited_set)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "shared_frac": pa.array(shared),
+                "chunks_orig": pa.array(n_orig, type=pa.int32()),
+                "chunks_edited": pa.array(n_edit, type=pa.int32()),
+            }
+        )
+
+
+def resync(
+    ds,
+    algo: str,
+    opts: ChunkerOpts | None = None,
+    edits: int = 16,
+    edit_size: int = 1,
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency=None,
+) -> pa.Table:
+    """Corpus resync summary: mean per-document shared fraction + totals."""
+    from ray.data.aggregate import Count, Mean
+
+    if concurrency is None:
+        concurrency = default_pool_size()
+    per_doc = ds.map_batches(
+        ResyncStage,
+        fn_constructor_kwargs=dict(
+            algo=algo, opts=opts, edits=edits, edit_size=edit_size, seed=seed,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    agg = per_doc.aggregate(Mean("shared_frac"), Count())
+    return pa.table(
+        {
+            "algorithm": [algo],
+            "edits": [edits],
+            "edit_size": [edit_size],
+            "mean_shared_frac": [float(agg["mean(shared_frac)"] or 0.0)],
+            "n_docs": [int(agg["count()"])],
+        }
+    )

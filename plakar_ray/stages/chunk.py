@@ -1,0 +1,155 @@
+"""Chunk-explode stage: document rows -> chunk rows.
+
+The Ray-Data-native equivalent of the reference's Split loop
+(chunkers.go:214-232) + per-chunk sha256 digesting (cmd/cdc/stats.go:141):
+a callable CLASS for `ds.map_batches(ChunkerStage(...), batch_format="pyarrow",
+concurrency=N)` so gear tables / masks are derived once per actor in
+__init__ (amortizing the reference's per-chunker Setup, chunkers.go:105-107),
+not once per batch.
+
+One input row (a document) becomes many output rows (its chunks). Chunk
+identity is the sha256 content digest; digest64 is its first 8 bytes as a
+little-endian uint64 for cheap downstream set operations (MinHash shingles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from plakar_ray.functions.arrowbytes import byte_views
+from plakar_ray.opts import ChunkerOpts
+from plakar_ray.registry import get_algorithm
+
+def default_pool_size():
+    """Actor-pool sizing that leaves CPU headroom for upstream read/shuffle
+    tasks: an actor pool sized to the whole cluster starves the stages that
+    feed it (observed deadlock on an N-actor pool + read task on N CPUs).
+    Autoscaling (1, cpus-1) lets the streaming executor balance stages."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return (1, max(1, cpus - 1))
+
+
+CHUNK_SCHEMA_FIELDS = [
+    ("chunk_idx", pa.int32()),
+    ("offset", pa.int64()),
+    ("length", pa.int32()),
+    ("digest", pa.binary(32)),
+    ("digest64", pa.uint64()),
+]
+
+
+class ChunkerStage:
+    """pages/documents batch -> chunk table batch.
+
+    Output columns: <id column copied>, chunk_idx, offset, length, digest,
+    digest64. The id column keeps its input name and type.
+    """
+
+    def __init__(
+        self,
+        algo: str,
+        opts: ChunkerOpts | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        with_digest: bool = True,
+    ):
+        self.spec = get_algorithm(algo)
+        self.opts = self.spec.resolve_opts(opts)
+        self.cfg = self.spec.setup(self.opts)  # gear/masks once per actor
+        self.id_col = id_col
+        self.text_col = text_col
+        self.with_digest = with_digest
+
+    def chunk_doc(self, doc: np.ndarray) -> np.ndarray:
+        return self.spec.boundaries(self.cfg, self.opts, doc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = byte_views(batch.column(self.text_col))
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+
+        out_ids: list[int] = []  # row index per chunk, expanded via take
+        idxs: list[np.ndarray] = []
+        offs: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        digests = [] if self.with_digest else None
+        d64 = [] if self.with_digest else None
+
+        n = len(batch)
+        for i in range(n):
+            doc = data[offsets[i] : offsets[i + 1]]
+            lengths = self.chunk_doc(doc)
+            k = lengths.shape[0]
+            if k == 0:
+                continue
+            ends = np.cumsum(lengths)
+            starts = ends - lengths
+            out_ids.extend([i] * k)
+            idxs.append(np.arange(k, dtype=np.int32))
+            offs.append(starts)
+            lens.append(lengths.astype(np.int32))
+            if self.with_digest:
+                mv = memoryview(doc)
+                for a, b in zip(starts.tolist(), ends.tolist()):
+                    dg = hashlib.sha256(mv[a:b]).digest()
+                    digests.append(dg)
+                    d64.append(int.from_bytes(dg[:8], "little"))
+
+        if not out_ids:
+            cols = {self.id_col: ids.take(pa.array([], type=pa.int64()))}
+            empty = {
+                "chunk_idx": pa.array([], type=pa.int32()),
+                "offset": pa.array([], type=pa.int64()),
+                "length": pa.array([], type=pa.int32()),
+            }
+            cols.update(empty)
+            if self.with_digest:
+                cols["digest"] = pa.array([], type=pa.binary(32))
+                cols["digest64"] = pa.array([], type=pa.uint64())
+            return pa.table(cols)
+
+        take_idx = pa.array(out_ids, type=pa.int64())
+        cols = {
+            self.id_col: ids.take(take_idx),
+            "chunk_idx": pa.array(np.concatenate(idxs), type=pa.int32()),
+            "offset": pa.array(np.concatenate(offs), type=pa.int64()),
+            "length": pa.array(np.concatenate(lens), type=pa.int32()),
+        }
+        if self.with_digest:
+            cols["digest"] = pa.array(digests, type=pa.binary(32))
+            cols["digest64"] = pa.array(np.array(d64, dtype=np.uint64), type=pa.uint64())
+        return pa.table(cols)
+
+
+def chunk_dataset(
+    ds,
+    algo: str,
+    opts: ChunkerOpts | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int | None = None,
+    batch_size: int = 256,
+    with_digest: bool = True,
+):
+    """documents Dataset -> chunk-table Dataset (the §3.4 explode step)."""
+    if concurrency is None:
+        concurrency = default_pool_size()
+    return ds.map_batches(
+        ChunkerStage,
+        fn_constructor_kwargs=dict(
+            algo=algo, opts=opts, id_col=id_col, text_col=text_col, with_digest=with_digest
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
