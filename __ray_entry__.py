@@ -1,44 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Implementation lives in plakar_ray.entry; this module only re-exports the
+three hooks. Ray is initialised by the driver BEFORE importing this module —
+neither this module nor the library ever calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() covers every operator family from SURVEY.md §2: CDC chunk explode
+and analytics (analyze/compare/resync), exact + MinHash/LSH + SimHash dedup,
+text analysis (stats/quality/lang-id/tokens/fingerprints), n-gram Jaccard,
+windowed/sessionized event aggregates, and embedding similarity search
+(brute-force, IVF, hyperplane LSH). oracle_sql() provides DuckDB oracles for
+every SQL-expressible query; the rest are value-verified in tests/
+(golden byte-parity with the Go reference, recall gates, oracle parity).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from typing import Any
+from plakar_ray.entry import entry, oracle_sql, queries
 
-
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
-
-
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+__all__ = ["entry", "queries", "oracle_sql"]

@@ -1,0 +1,570 @@
+"""Driver-contract implementation: queries() + oracle_sql() + entry().
+
+Every operator family from SURVEY.md §2 has a queries() entry; where the
+semantics are SQL-expressible the matching DuckDB oracle reproduces values
+exactly (same regex engine, integer metrics, deterministic tie-breaks).
+CDC chunking, MinHash/LSH, SimHash and IVF are not SQL-expressible — those
+get rows-only checks and are instead value-verified by the pytest suite
+(golden parity, recall gates, oracle parity tests).
+
+Ray is initialised by the caller (driver/bench/tests); nothing here calls
+ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from plakar_ray.opts import ChunkerOpts
+
+SMALL = ChunkerOpts(64, 2048, 256)  # suited to ~300-char driver documents
+FIXED_SIZE = 256
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- queries ----
+
+
+def q_chunk_explode_fixed(sf_dir: str) -> pa.Table:
+    """Fixed-size chunk explode (SQL-expressible chunking baseline)."""
+    from plakar_ray.stages.chunk import chunk_dataset
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    chunks = chunk_dataset(
+        ds, "fixed-v1.0.0", ChunkerOpts(normal_size=FIXED_SIZE), with_digest=False
+    )
+    out = chunks.to_pandas().sort_values(["doc_id", "chunk_idx"])
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], type=pa.int64()),
+            "offset": pa.array(out["offset"], type=pa.int64()),
+            "length": pa.array(out["length"], type=pa.int64()),
+        }
+    )
+
+
+def q_chunk_fixed_stats(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.analyze import measure
+
+    m = measure(
+        _docs(sf_dir, ["doc_id", "text"]), "fixed-v1.0.0", ChunkerOpts(normal_size=FIXED_SIZE)
+    )
+    return pa.table(
+        {
+            "total_bytes": pa.array([m["total_bytes"]], type=pa.int64()),
+            "total_chunks": pa.array([m["chunks"]], type=pa.int64()),
+            "min_len": pa.array([m["len_min"]], type=pa.int64()),
+            "max_len": pa.array([m["len_max"]], type=pa.int64()),
+        }
+    )
+
+
+def q_analyze_fastcdc(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.analyze import analyze
+
+    return analyze(_docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL)
+
+
+def q_compare_algos(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.analyze import compare
+
+    table, _ = compare(
+        lambda: _docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", "ultracdc", SMALL
+    )
+    return table
+
+
+def q_resync_fastcdc(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.dedup import resync
+
+    return resync(_docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL, edits=4, edit_size=1)
+
+
+def q_exact_dedup_stats(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_exact_dup_groups(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.dedup import exact_dup_groups
+
+    out = exact_dup_groups(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "group_id": pa.array(out["group_id"], type=pa.int64()),
+        }
+    )
+
+
+def q_minhash_lsh_clusters(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL,
+        num_perm=192, bands=64,
+    )
+
+
+def q_minhash_lsh_clusters_salted(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL,
+        num_perm=192, bands=64, salt_buckets=4,
+    )
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    from plakar_ray.stages.simhash import simhash_candidate_pairs
+
+    ds = simhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), bands=4, max_hamming=3)
+    out = ds.to_pandas().drop_duplicates().sort_values(["id_a", "id_b"])
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"], type=pa.int64()),
+            "id_b": pa.array(out["id_b"], type=pa.int64()),
+        }
+    )
+
+
+def q_doc_text_stats(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.text import doc_text_stats
+
+    out = doc_text_stats(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+            "n_alpha": pa.array(out["n_alpha"], type=pa.int64()),
+            "n_digit": pa.array(out["n_digit"], type=pa.int64()),
+            "n_space": pa.array(out["n_space"], type=pa.int64()),
+        }
+    )
+
+
+def q_doc_quality(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.text import doc_quality
+
+    out = doc_quality(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "n_chars": pa.array(out["n_chars"], type=pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+            "quality": pa.array(out["quality"], type=pa.float64()),
+        }
+    )
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.text import doc_lang_id
+
+    out = doc_lang_id(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "lang_pred": pa.array(out["lang_pred"]),
+            "marker_hits": pa.array(out["marker_hits"], type=pa.int64()),
+        }
+    )
+
+
+def q_token_stats_by_lang(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.text import token_stats_by_lang
+
+    return token_stats_by_lang(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def q_top_tokens(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.text import top_tokens
+
+    return top_tokens(_docs(sf_dir, ["doc_id", "text"]), k=20)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.text import doc_fingerprints
+
+    out = doc_fingerprints(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "fingerprint64": pa.array(out["fingerprint64"], type=pa.uint64()),
+        }
+    )
+
+
+def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact distinct-token Jaccard for all doc pairs >= 0.3 (n-gram Jaccard
+    family, unigram flavor — SQL-mirrorable via list_distinct/list_intersect).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def token_sets(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column("text"))
+        lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        return pa.table({"doc_id": batch.column("doc_id"), "tokens": lists})
+
+    rows = ds.map_batches(token_sets, batch_format="pyarrow").to_pandas()
+    ids = rows["doc_id"].to_numpy()
+    sets = [frozenset(t for t in toks if t) for toks in rows["tokens"]]
+    order = np.argsort(ids)
+    ids, sets = ids[order], [sets[i] for i in order]
+
+    # Distributed blocked all-pairs: broadcast the set list once.
+    sets_ref = ray.put((ids, sets))
+    import ray.data
+
+    block = 64
+    starts = [{"start": s} for s in range(0, len(ids), block)]
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_sets = ray.get(sets_ref)
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        for s in batch.column("start").to_pylist():
+            for i in range(s, min(s + block, len(all_ids))):
+                si = all_sets[i]
+                for j in range(i + 1, len(all_ids)):
+                    sj = all_sets[j]
+                    inter = len(si & sj)
+                    union = len(si) + len(sj) - inter
+                    if union and inter / union >= 0.5:
+                        out["id_a"].append(int(all_ids[i]))
+                        out["id_b"].append(int(all_ids[j]))
+                        out["jaccard"].append(round(inter / union, 6))
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"], type=pa.int64()),
+                "id_b": pa.array(out["id_b"], type=pa.int64()),
+                "jaccard": pa.array(out["jaccard"], type=pa.float64()),
+            }
+        )
+
+    res = (
+        ray.data.from_items(starts)
+        .map_batches(pairs, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(res["id_a"], type=pa.int64()),
+            "id_b": pa.array(res["id_b"], type=pa.int64()),
+            "jaccard": pa.array(res["jaccard"], type=pa.float64()),
+        }
+    )
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.events import tumbling_window_counts
+
+    t = tumbling_window_counts(_events(sf_dir, ["ts", "event_type", "value"]))
+    # Fixed-point sums: float64 summation order differs between engines, so
+    # both sides compare floor(sum * 1e4 + 0.5) as integers.
+    sums = t.column("value_sum").to_numpy(zero_copy_only=False)
+    e4 = np.floor(sums * 10000.0 + 0.5).astype(np.int64)
+    t = t.remove_column(t.schema.get_field_index("value_sum"))
+    return t.append_column("value_sum_e4", pa.array(e4, type=pa.int64()))
+
+
+def q_events_sessionize(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.events import sessionize
+
+    return sessionize(_events(sf_dir, ["ts", "user_id"]))
+
+
+N_QUERIES_TOPK = 10
+TOPK_K = 5
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, N_QUERIES_TOPK)
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    return ids, vecs
+
+
+def q_embedding_topk(sf_dir: str) -> pa.Table:
+    from plakar_ray.stages.embed import brute_force_topk
+
+    ids, vecs = _query_vectors(sf_dir)
+    t = brute_force_topk(_embeddings(sf_dir), vecs, ids, k=TOPK_K)
+    return pa.table(
+        {
+            "query_id": t.column("query_id"),
+            "rank": t.column("rank").cast(pa.int64()),
+            "neighbor_id": t.column("neighbor_id"),
+            "cosine": t.column("cosine"),
+        }
+    )
+
+
+def q_embedding_ivf_topk(sf_dir: str) -> pa.Table:
+    from plakar_ray.stages.embed import ivf_topk
+
+    ids, vecs = _query_vectors(sf_dir)
+    t = ivf_topk(_embeddings(sf_dir), vecs, ids, k=TOPK_K)
+    return pa.table(
+        {
+            "query_id": t.column("query_id"),
+            "rank": t.column("rank").cast(pa.int64()),
+            "neighbor_id": t.column("neighbor_id"),
+            "cosine": t.column("cosine"),
+        }
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    from plakar_ray.stages.embed import cosine_near_dup_pairs
+
+    t = cosine_near_dup_pairs(_embeddings(sf_dir), threshold=COSINE_DUP_THRESHOLD)
+    return t
+
+
+def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
+    from plakar_ray.stages.embed import hyperplane_lsh_pairs
+
+    ds = hyperplane_lsh_pairs(_embeddings(sf_dir), threshold=COSINE_DUP_THRESHOLD)
+    out = ds.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"], type=pa.int64()),
+            "id_b": pa.array(out["id_b"], type=pa.int64()),
+            "cosine_est": pa.array(out["cosine_est"], type=pa.float64()),
+        }
+    )
+
+
+def queries():
+    return {
+        "chunk_explode_fixed": q_chunk_explode_fixed,
+        "chunk_fixed_stats": q_chunk_fixed_stats,
+        "analyze_fastcdc": q_analyze_fastcdc,
+        "compare_algos": q_compare_algos,
+        "resync_fastcdc": q_resync_fastcdc,
+        "exact_dedup_stats": q_exact_dedup_stats,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_lsh_clusters": q_minhash_lsh_clusters,
+        "minhash_lsh_clusters_salted": q_minhash_lsh_clusters_salted,
+        "simhash_pairs": q_simhash_pairs,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "top_tokens": q_top_tokens,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+    }
+
+
+# ---------------------------------------------------------------- oracle ---
+
+_TOKEN_SQL = "[a-zA-Z0-9]+"
+
+_LANG_COUNTS_CTE = """
+WITH c AS (
+  SELECT doc_id,
+    length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|you|that|was)\\b')) AS en,
+    length(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS de,
+    length(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|pour|dans)\\b')) AS fr,
+    length(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|para|con|por)\\b')) AS es
+  FROM documents
+)
+"""
+
+
+def oracle_sql():
+    return {
+        "chunk_explode_fixed": f"""
+            SELECT d.doc_id,
+                   g.i AS chunk_idx,
+                   g.i * {FIXED_SIZE} AS offset,
+                   least({FIXED_SIZE}, octet_length(d.text::BLOB) - g.i * {FIXED_SIZE}) AS length
+            FROM documents d
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+            ) g
+            WHERE octet_length(d.text::BLOB) > 0
+            ORDER BY d.doc_id, chunk_idx
+        """,
+        "chunk_fixed_stats": f"""
+            WITH e AS (
+              SELECT least({FIXED_SIZE}, octet_length(d.text::BLOB) - g.i * {FIXED_SIZE}) AS length
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) > 0
+            )
+            SELECT sum(length)::BIGINT AS total_bytes,
+                   count(*)::BIGINT AS total_chunks,
+                   min(length)::BIGINT AS min_len,
+                   max(length)::BIGINT AS max_len
+            FROM e
+        """,
+        "exact_dedup_stats": """
+            WITH d AS (
+              SELECT md5(text) AS h, octet_length(text::BLOB) AS nb FROM documents
+            ), u AS (
+              SELECT h, min(nb) AS nb FROM d GROUP BY h
+            )
+            SELECT (SELECT count(*) FROM d)::BIGINT AS n_docs,
+                   (SELECT count(*) FROM u)::BIGINT AS n_distinct,
+                   ((SELECT count(*) FROM d) - (SELECT count(*) FROM u))::BIGINT AS n_dup_docs,
+                   (SELECT sum(nb) FROM d)::BIGINT AS total_bytes,
+                   (SELECT sum(nb) FROM u)::BIGINT AS unique_bytes,
+                   (SELECT sum(nb) FROM u) / (SELECT sum(nb) FROM d)::DOUBLE AS dedup_ratio
+        """,
+        "exact_dup_groups": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS group_id
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_text_stats": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   length(regexp_extract_all(text, '{_TOKEN_SQL}'))::BIGINT AS n_tokens,
+                   (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+                   (length(text) - length(regexp_replace(text, ' ', '', 'g')))::BIGINT AS n_space
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id": _LANG_COUNTS_CTE + """
+            SELECT doc_id,
+              CASE
+                WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es'
+              END AS lang_pred,
+              (en + de + fr + es)::BIGINT AS marker_hits
+            FROM c ORDER BY doc_id
+        """,
+        "token_stats_by_lang": f"""
+            SELECT lang,
+                   count(*)::BIGINT AS docs,
+                   sum(length(regexp_extract_all(text, '{_TOKEN_SQL}')))::BIGINT AS tokens_sum,
+                   sum(length(text))::BIGINT AS chars_sum
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "top_tokens": """
+            SELECT token, count(*)::BIGINT AS count
+            FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY count DESC, token ASC
+            LIMIT 20
+        """,
+        "token_jaccard_pairs": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '')) AS toks
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks)) /
+                         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE, 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) > 0
+              AND len(list_intersect(a.toks, b.toks)) /
+                  (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "events_window": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   floor(sum(value) * 10000 + 0.5)::BIGINT AS value_sum_e4
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            )
+            SELECT user_id,
+                   (sum(new_session) + 1)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "embedding_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < {N_QUERIES_TOPK}
+            ), sims AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+              FROM q, embeddings e
+              WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM sims
+            )
+            SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= {TOPK_K}
+            ORDER BY query_id, rank
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_DUP_THRESHOLD}
+            ORDER BY id_a, id_b
+        """,
+    }
+
+
+def entry():
+    """Flagship pipeline on sf0.001: pages-from-documents -> MinHash/LSH
+    near-dup clustering (returns the cluster table)."""
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs("/root/testdata/sf0.001", ["doc_id", "text"]),
+        "fastcdc-v1.0.0",
+        SMALL,
+        num_perm=192,
+        bands=64,
+    )

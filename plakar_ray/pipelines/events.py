@@ -1,0 +1,94 @@
+"""Windowed aggregates over the events stream table.
+
+Tumbling windows are a pure key transform (truncate the timestamp), so the
+"streaming" operator is a map_batches + groupby — no custom operator needed;
+partials are combined per batch before the shuffle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_counts(
+    ds,
+    window: str = "hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> pa.Table:
+    """(window_start, event_type, n_events, value_sum) per tumbling window,
+    ordered by (window_start, event_type)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column(ts_col), unit=window)
+        t = pa.table(
+            {
+                "window_start": w,
+                key_col: batch.column(key_col),
+                value_col: batch.column(value_col),
+            }
+        )
+        g = t.group_by(["window_start", key_col]).aggregate(
+            [(value_col, "sum"), (value_col, "count")]
+        )
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                key_col: g.column(key_col),
+                "n_events": g.column(f"{value_col}_count").cast(pa.int64()),
+                "value_sum": g.column(f"{value_col}_sum").cast(pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = (
+        parts.groupby(["window_start", key_col])
+        .sum(["n_events", "value_sum"])
+        .to_pandas()
+        .sort_values(["window_start", key_col])
+    )
+    return pa.table(
+        {
+            "window_start": pa.array(final["window_start"]),
+            key_col: pa.array(final[key_col]),
+            "n_events": pa.array(final["sum(n_events)"], type=pa.int64()),
+            "value_sum": pa.array(final["sum(value_sum)"], type=pa.float64()),
+        }
+    )
+
+
+def sessionize(
+    ds,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> pa.Table:
+    """Session assignment: events of one user sorted by time; a gap >
+    gap_seconds starts a new session. Expressed as groupby(user).map_groups —
+    the canonical stateful-per-key operator the Dataset API can hold.
+    Returns (user_id, n_sessions, n_events)."""
+    import numpy as np
+
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = np.sort(ts)
+        gaps = np.diff(ts) > gap_seconds * 1_000_000
+        return pa.table(
+            {
+                user_col: group.column(user_col)[:1],
+                "n_sessions": pa.array([int(gaps.sum()) + 1], type=pa.int64()),
+                "n_events": pa.array([len(group)], type=pa.int64()),
+            }
+        )
+
+    out = ds.groupby(user_col).map_groups(sessions, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(user_col)
+    return pa.table(
+        {
+            user_col: pa.array(out[user_col], type=pa.int64()),
+            "n_sessions": pa.array(out["n_sessions"], type=pa.int64()),
+            "n_events": pa.array(out["n_events"], type=pa.int64()),
+        }
+    )

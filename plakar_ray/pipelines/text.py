@@ -1,0 +1,111 @@
+"""Text-analysis pipelines over the documents table."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from plakar_ray.stages.text import (
+    FingerprintStage,
+    lang_id_batch,
+    quality_batch,
+    text_stats_batch,
+    token_explode_batch,
+)
+
+
+def doc_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_chars, n_tokens, quality) — SQL-mirrorable."""
+    return ds.map_batches(
+        lambda b: quality_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def doc_text_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: text_stats_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def doc_lang_id(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: lang_id_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def doc_fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        FingerprintStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
+def token_stats_by_lang(ds, lang_col: str = "lang", text_col: str = "text") -> pa.Table:
+    """(lang, docs, tokens_sum, chars_sum) ordered by lang — corpus token
+    accounting, pre-aggregated per batch before the (tiny) lang groupby."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = text_stats_batch(batch, lang_col, text_col)  # id_col=lang passthrough
+        t = pa.table(
+            {
+                "lang": st.column(lang_col),
+                "n_tokens": st.column("n_tokens"),
+                "n_chars": st.column("n_chars"),
+            }
+        )
+        g = t.group_by("lang").aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"), ("lang", "count")]
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "docs": g.column("lang_count").cast(pa.int64()),
+                "tokens_sum": g.column("n_tokens_sum").cast(pa.int64()),
+                "chars_sum": g.column("n_chars_sum").cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = (
+        parts.groupby("lang")
+        .sum(["docs", "tokens_sum", "chars_sum"])
+        .to_pandas()
+        .sort_values("lang")
+    )
+    return pa.table(
+        {
+            "lang": pa.array(final["lang"]),
+            "docs": pa.array(final["sum(docs)"], type=pa.int64()),
+            "tokens_sum": pa.array(final["sum(tokens_sum)"], type=pa.int64()),
+            "chars_sum": pa.array(final["sum(chars_sum)"], type=pa.int64()),
+        }
+    )
+
+
+def top_tokens(ds, k: int = 20, text_col: str = "text") -> pa.Table:
+    """Top-k most frequent lowercased tokens. Map-side combining (per-batch
+    partial counts) keeps the shuffle proportional to vocabulary, not corpus.
+    Deterministic order: count desc, token asc."""
+    parts = ds.map_batches(
+        lambda b: token_explode_batch(b, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = parts.groupby("token").sum("partial").to_pandas()
+    totals = totals.rename(columns={"sum(partial)": "count"})
+    totals = totals.sort_values(["count", "token"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "token": pa.array(totals["token"].tolist()),
+            "count": pa.array(totals["count"].tolist(), type=pa.int64()),
+        }
+    )
