@@ -130,6 +130,15 @@ class ChunkerStage:
         return pa.table(cols)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _cached_stage(algo: str, opts: ChunkerOpts | None, id_col: str, text_col: str,
+                  with_digest: bool) -> "ChunkerStage":
+    return ChunkerStage(algo, opts, id_col=id_col, text_col=text_col, with_digest=with_digest)
+
+
 def chunk_dataset(
     ds,
     algo: str,
@@ -137,19 +146,44 @@ def chunk_dataset(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency: int | None = None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     with_digest: bool = True,
+    use_actors: bool = False,
 ):
-    """documents Dataset -> chunk-table Dataset (the §3.4 explode step)."""
-    if concurrency is None:
-        concurrency = default_pool_size()
+    """documents Dataset -> chunk-table Dataset (the §3.4 explode step).
+
+    Two execution modes:
+    * stateless tasks (default): stage objects are built once per worker
+      PROCESS via an lru_cache — setup cost amortizes exactly like an actor's
+      __init__ but reuses Ray's warm worker pool (no actor cold-start).
+      Correct for all unkeyed algorithms whose setup is cheap and
+      deterministic.
+    * actor pool (use_actors=True): for keyed gear tables or other expensive
+      derived state that should be built once per actor and never per task
+      argument (e.g. blake3 key derivation).
+    """
+    if use_actors:
+        if concurrency is None:
+            concurrency = default_pool_size()
+        return ds.map_batches(
+            ChunkerStage,
+            fn_constructor_kwargs=dict(
+                algo=algo, opts=opts, id_col=id_col, text_col=text_col,
+                with_digest=with_digest,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def apply(batch):
+        stage = _cached_stage(algo, opts, id_col, text_col, with_digest)
+        return stage(batch)
+
     return ds.map_batches(
-        ChunkerStage,
-        fn_constructor_kwargs=dict(
-            algo=algo, opts=opts, id_col=id_col, text_col=text_col, with_digest=with_digest
-        ),
+        apply,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )

@@ -126,10 +126,18 @@ def candidate_pairs(
     id_col: str = "doc_id",
     min_shingles: int = 1,
     salt_buckets: int | None = None,
+    checkpoint: bool = True,
 ):
     """signatures Dataset -> candidate edge Dataset (id_a < id_b, star per
     bucket). One groupby shuffle on (band_id, band_hash[, salt]); with salted
-    keys, a second tiny shuffle over sub-bucket hubs restores connectivity."""
+    keys, a second tiny shuffle over sub-bucket hubs restores connectivity.
+
+    checkpoint=True materializes the signatures first: Ray's sort-based
+    groupby executes its input more than once (boundary sampling + shuffle),
+    which would re-run the expensive chunk+signature stage; the signature
+    table (~1.5 KB/doc) is also the natural lineage/resume boundary."""
+    if checkpoint:
+        sig_ds = sig_ds.materialize()
     band_rows = sig_ds.map_batches(
         BandStage,
         fn_constructor_kwargs=dict(
@@ -140,6 +148,21 @@ def candidate_pairs(
         zero_copy_batch=True,
         concurrency=(1, 4),
     )
+    # Coalesce before the shuffle: band rows inherit the (often per-document)
+    # input block structure, and a sort-based groupby over B blocks exchanges
+    # O(B^2) objects. A handful of blocks per CPU keeps the all-to-all dense.
+    try:
+        import ray
+
+        n_part = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        n_part = 16
+    try:
+        well_blocked = sig_ds.num_blocks() <= 4 * n_part
+    except Exception:
+        well_blocked = False
+    if not well_blocked:
+        band_rows = band_rows.repartition(n_part)
     keys = ["band_id", "band_hash"] + (["salt"] if salt_buckets else [])
     edges = band_rows.groupby(keys).map_groups(
         lambda g: _star_edges(g, id_col), batch_format="pyarrow"

@@ -103,6 +103,14 @@ class MinHashStage:
         )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col) -> "MinHashStage":
+    return MinHashStage(algo, opts, num_perm=num_perm, seed=seed, id_col=id_col, text_col=text_col)
+
+
 def minhash_signatures(
     ds,
     algo: str = "fastcdc",
@@ -112,20 +120,32 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency=None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
+    use_actors: bool = False,
 ):
-    if concurrency is None:
-        concurrency = default_pool_size()
+    """Stateless-task mode (default) caches the stage (permutation matrix +
+    gear setup) once per worker process; actor mode for expensive keyed
+    state. See chunk_dataset for the tradeoff."""
+    if use_actors:
+        if concurrency is None:
+            concurrency = default_pool_size()
+        return ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs=dict(
+                algo=algo, opts=opts, num_perm=num_perm, seed=seed,
+                id_col=id_col, text_col=text_col,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def apply(batch):
+        return _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col)(batch)
+
     return ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(
-            algo=algo, opts=opts, num_perm=num_perm, seed=seed,
-            id_col=id_col, text_col=text_col,
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
+        apply, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
 
 
