@@ -1,0 +1,129 @@
+"""CLI mirroring the reference's cmd/cdc tools (analyze / compare / resync)
+plus near-dup clustering, over a parquet documents/pages table.
+
+Usage:
+    python -m plakar_ray.cli analyze  --input PATH [--algo fastcdc] [--min N --avg N --max N]
+    python -m plakar_ray.cli compare  --input PATH --a fastcdc --b ultracdc [...]
+    python -m plakar_ray.cli resync   --input PATH --algo fastcdc [--edits 16 --edit-size 1 --seed 1]
+    python -m plakar_ray.cli cluster  --input PATH [--num-perm 192 --bands 64 --salt 0]
+
+Owns its Ray session (guarded init, shutdown at exit); the size flags follow
+cmd/cdc/stats.go:42-47 defaults (2K/8K/64K).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from plakar_ray.opts import ChunkerOpts
+
+
+def _opts(args) -> ChunkerOpts:
+    return ChunkerOpts(args.min, args.max, args.avg)
+
+
+def _read(args):
+    import ray.data
+
+    cols = [args.id_col, args.text_col]
+    return ray.data.read_parquet(args.input, columns=cols)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="plakar_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True)
+        sp.add_argument("--id-col", default="doc_id")
+        sp.add_argument("--text-col", default="text")
+        sp.add_argument("--min", type=int, default=2 * 1024)
+        sp.add_argument("--avg", type=int, default=8 * 1024)
+        sp.add_argument("--max", type=int, default=64 * 1024)
+        sp.add_argument("--num-cpus", type=int, default=0)
+
+    sp = sub.add_parser("analyze")
+    common(sp)
+    sp.add_argument("--algo", default="fastcdc")
+    sp = sub.add_parser("compare")
+    common(sp)
+    sp.add_argument("--a", default="fastcdc")
+    sp.add_argument("--b", default="ultracdc")
+    sp.add_argument("--tolerance", type=float, default=0.02)
+    sp = sub.add_parser("resync")
+    common(sp)
+    sp.add_argument("--algo", default="fastcdc")
+    sp.add_argument("--edits", type=int, default=16)
+    sp.add_argument("--edit-size", type=int, default=1)
+    sp.add_argument("--seed", type=int, default=1)
+    sp = sub.add_parser("cluster")
+    common(sp)
+    sp.add_argument("--algo", default="fastcdc-v1.0.0")
+    sp.add_argument("--num-perm", type=int, default=192)
+    sp.add_argument("--bands", type=int, default=64)
+    sp.add_argument("--salt", type=int, default=0)
+    sp.add_argument("--out", default="")
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        kwargs = dict(address="local", include_dashboard=False, logging_level="error")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    code = 0
+    try:
+        if args.cmd == "analyze":
+            from plakar_ray.pipelines.analyze import analyze
+
+            t = analyze(_read(args), args.algo, _opts(args),
+                        id_col=args.id_col, text_col=args.text_col)
+            print(t.to_pandas().to_string(index=False))
+        elif args.cmd == "compare":
+            from plakar_ray.pipelines.analyze import compare
+
+            t, regression = compare(
+                lambda: _read(args), args.a, args.b, _opts(args),
+                tolerance=args.tolerance, id_col=args.id_col, text_col=args.text_col,
+            )
+            print(t.to_pandas().to_string(index=False))
+            if regression:
+                # CI gate semantics of cmd/cdc/compare.go:24-59.
+                print(f"REGRESSION: {args.b} dedup ratio worse than {args.a} "
+                      f"(tolerance {args.tolerance})", file=sys.stderr)
+                code = 1
+        elif args.cmd == "resync":
+            from plakar_ray.pipelines.dedup import resync
+
+            t = resync(_read(args), args.algo, _opts(args), edits=args.edits,
+                       edit_size=args.edit_size, seed=args.seed,
+                       id_col=args.id_col, text_col=args.text_col)
+            print(t.to_pandas().to_string(index=False))
+        elif args.cmd == "cluster":
+            from plakar_ray.pipelines.dedup import near_dup_clusters
+
+            t = near_dup_clusters(
+                _read(args), args.algo, _opts(args), num_perm=args.num_perm,
+                bands=args.bands, id_col=args.id_col, text_col=args.text_col,
+                salt_buckets=args.salt or None,
+            )
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(t, args.out)
+                print(f"wrote {t.num_rows} rows to {args.out}")
+            else:
+                print(t.to_pandas().to_string(index=False))
+    finally:
+        if owns_session:
+            ray.shutdown()
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

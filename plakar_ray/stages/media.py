@@ -1,0 +1,172 @@
+"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+
+Media travel as opaque `binary` payload columns with typed metadata, decoded
+and featurized inside actor-pool map_batches stages. This container has no
+image/audio libraries, so the codec step is gated:
+
+* strict=True  -> raise NotImplementedError (the honest production stub)
+* strict=False -> deterministic fake decode (byte-histogram features, sizes
+  derived from payload), so schemas, batch sizing, actor lifecycle and
+  downstream layout are fully testable.
+
+Batch sizes for media must be SMALL (payloads are large): callers pass
+batch_size explicitly; helpers default to 16 rows per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from plakar_ray.functions.arrowbytes import byte_views
+
+
+def _try_import_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class DecodeImageStage:
+    """(media_id, payload) -> (media_id, width, height, channels,
+    feat: fixed_size_list<float>(16)).
+
+    Real decode requires PIL (absent here); the deterministic fake derives
+    dimensions from a payload hash and features from the byte histogram —
+    stable across runs and processes.
+    """
+
+    FEAT_DIM = 16
+
+    def __init__(self, id_col: str = "media_id", payload_col: str = "payload",
+                 strict: bool = False):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.strict = strict
+        self.has_pil = _try_import_pil()
+
+    def _fake_decode(self, payload: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+        h = hashlib.sha256(payload.tobytes()).digest()
+        width = 16 + h[0] % 240
+        height = 16 + h[1] % 240
+        channels = 1 + h[2] % 3
+        hist = np.bincount(payload >> 4, minlength=16).astype(np.float64)
+        total = max(hist.sum(), 1.0)
+        return width, height, channels, hist / total
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and not self.has_pil:
+            raise NotImplementedError(
+                "image decode needs PIL (not in this environment); "
+                "run with strict=False for the deterministic fake"
+            )
+        data, offsets = byte_views(batch.column(self.payload_col))
+        n = len(batch)
+        w = np.empty(n, np.int32)
+        hgt = np.empty(n, np.int32)
+        c = np.empty(n, np.int32)
+        feats = np.zeros((n, self.FEAT_DIM), np.float64)
+        for i in range(n):
+            payload = data[offsets[i] : offsets[i + 1]]
+            w[i], hgt[i], c[i], feats[i] = self._fake_decode(payload)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "width": pa.array(w, type=pa.int32()),
+                "height": pa.array(hgt, type=pa.int32()),
+                "channels": pa.array(c, type=pa.int32()),
+                "feat": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float64()), self.FEAT_DIM
+                ),
+            }
+        )
+
+
+class AudioFeatureStage:
+    """(media_id, payload) -> (media_id, n_samples, feat(8)): fake 'MFCC'
+    from windowed byte statistics; same gating contract as images."""
+
+    FEAT_DIM = 8
+
+    def __init__(self, id_col: str = "media_id", payload_col: str = "payload",
+                 strict: bool = False):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError("audio decode needs an audio lib; strict=False for fake")
+        data, offsets = byte_views(batch.column(self.payload_col))
+        n = len(batch)
+        ns = np.empty(n, np.int64)
+        feats = np.zeros((n, self.FEAT_DIM), np.float64)
+        for i in range(n):
+            payload = data[offsets[i] : offsets[i + 1]].astype(np.float64)
+            ns[i] = payload.shape[0]
+            if payload.shape[0]:
+                parts = np.array_split(payload, self.FEAT_DIM)
+                feats[i] = [p.mean() if p.size else 0.0 for p in parts]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "feat": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float64()), self.FEAT_DIM
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """(media_id, payload) -> one row per sampled 'frame': every
+    frame_bytes-th slice becomes a frame payload (video frame sampling
+    plumbing; the codec would replace the slicing)."""
+
+    def __init__(self, id_col: str = "media_id", payload_col: str = "payload",
+                 frame_bytes: int = 4096, every: int = 4):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = byte_views(batch.column(self.payload_col))
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        take, frame_idx, frames = [], [], []
+        for i in range(len(batch)):
+            payload = data[offsets[i] : offsets[i + 1]]
+            n_frames = payload.shape[0] // self.frame_bytes
+            for j in range(0, n_frames, self.every):
+                take.append(i)
+                frame_idx.append(j)
+                frames.append(
+                    payload[j * self.frame_bytes : (j + 1) * self.frame_bytes].tobytes()
+                )
+        return pa.table(
+            {
+                self.id_col: ids.take(pa.array(take, type=pa.int64())),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def decode_images(ds, concurrency=(1, 4), batch_size: int = 16, strict: bool = False):
+    """Actor-pool decode: media payloads are heavy, so batches stay small and
+    the pool is bounded; columns are pruned to id+payload upstream."""
+    return ds.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs=dict(strict=strict),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

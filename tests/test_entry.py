@@ -1,0 +1,69 @@
+"""Driver-contract smoke + a trimmed in-pytest DuckDB oracle check at
+sf0.001 (the driver runs the full comparison at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def test_contract_shape(ray_session):
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 20
+    assert set(oracles) <= set(qs)
+    assert len(oracles) >= 12
+
+
+def test_entry_runs(ray_session):
+    import __ray_entry__ as E
+
+    res = E.entry()
+    assert res.num_rows >= 0
+    assert set(res.column_names) == {"doc_id", "cluster_id"}
+
+
+# A fast representative subset; the full set is exercised by
+# tools/check_oracle.py and the driver itself.
+SUBSET = ["doc_text_stats", "lang_id", "top_tokens", "events_window",
+          "exact_dup_groups", "embedding_topk", "chunk_fixed_stats"]
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as E
+
+    res = E.queries()[name](SF)
+    want = con.execute(E.oracle_sql()[name]).df()
+    a, b = _canon(res.to_pandas()), _canon(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.array_equal(av.astype(np.float64), bv.astype(np.float64)), c
+        else:
+            assert (av == bv).all(), c

@@ -1,0 +1,161 @@
+"""Lineage/checkpoint-resume, multimodal stubs, pages invariants, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_lineage_resume(ray_session, tmp_path):
+    from plakar_ray.state.lineage import LineageLog, Partition, digest_of, run_stage
+
+    calls_file = tmp_path / "calls.txt"
+
+    def fn(payload):
+        with open(calls_file, "a") as f:
+            f.write(f"{payload}\n")
+        return pa.table({"x": pa.array([payload] * 3, type=pa.int64())})
+
+    parts = [Partition(f"p{i:02d}", i, digest_of("stage1", i)) for i in range(6)]
+    root = str(tmp_path / "ckpt")
+    ds, skipped, ran = run_stage(root, "stage1", parts, fn)
+    assert (skipped, ran) == (0, 6)
+    assert ds.count() == 18
+
+    # Simulate a partial failure: drop two manifests -> only those re-run.
+    log = LineageLog(root, "stage1")
+    os.remove(log._mpath("p01"))
+    os.remove(log._mpath("p04"))
+    ds2, skipped2, ran2 = run_stage(root, "stage1", parts, fn)
+    assert (skipped2, ran2) == (4, 2)
+    assert ds2.count() == 18
+    # Input change invalidates exactly that partition.
+    parts2 = list(parts)
+    parts2[0] = Partition("p00", 100, digest_of("stage1", 100))
+    ds3, skipped3, ran3 = run_stage(root, "stage1", parts2, fn)
+    assert (skipped3, ran3) == (5, 1)
+    m = log.manifest()
+    assert len(m) == 6
+    assert all(set(r) >= {"stage", "partition_id", "input_digest", "row_count", "wall_s"} for r in m)
+
+
+def _media_table(n=10, seed=3):
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, int(sz), dtype=np.uint8).tobytes()
+                for sz in rng.integers(1000, 40000, n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def test_decode_image_stage(ray_session):
+    import ray.data
+
+    from plakar_ray.stages.media import DecodeImageStage, decode_images
+
+    t = _media_table()
+    out = decode_images(ray.data.from_arrow(t), batch_size=4).to_pandas().sort_values("media_id")
+    assert list(out.columns) == ["media_id", "width", "height", "channels", "feat"]
+    assert len(out) == 10
+    assert (out.width >= 16).all() and (out.channels <= 4).all()
+    # Deterministic: direct call == pipeline result.
+    direct = DecodeImageStage()(t).to_pandas().sort_values("media_id")
+    assert (np.stack(out.feat.values) == np.stack(direct.feat.values)).all()
+    # Strict mode raises (no PIL in this environment).
+    if not DecodeImageStage(strict=True).has_pil:
+        with pytest.raises(NotImplementedError):
+            DecodeImageStage(strict=True)(t)
+
+
+def test_audio_and_frames(ray_session):
+    from plakar_ray.stages.media import AudioFeatureStage, FrameSampleStage
+
+    t = _media_table(6)
+    audio = AudioFeatureStage()(t)
+    assert audio.num_rows == 6
+    frames = FrameSampleStage(frame_bytes=1000, every=2)(t)
+    assert frames.num_rows > 0
+    assert set(frames.column_names) == {"media_id", "frame_idx", "frame"}
+    assert all(len(f) == 1000 for f in frames.column("frame").to_pylist())
+
+
+def test_pages_text_identity(ray_session, tmp_path):
+    """Per-url extracted text must be byte-identical to the input text —
+    the driver's per-row invariant, frozen as sha256 per url."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plakar_ray.pipelines.pages import extract_text_batch, read_pages, text_digests
+    from plakar_ray.sources.pages import synthesize_pages
+
+    pages, _ = synthesize_pages(n_pages=100, seed=9)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, path)
+    ds = read_pages(path).map_batches(extract_text_batch, batch_format="pyarrow")
+    got = text_digests(ds)
+    want = {
+        u: hashlib.sha256(t.encode()).hexdigest()
+        for u, t in zip(pages.column("url").to_pylist(), pages.column("text").to_pylist())
+    }
+    for u, d in zip(got.column("url").to_pylist(), got.column("text_sha256").to_pylist()):
+        assert want[u] == d
+    assert got.num_rows == 100
+
+
+def test_page_clusters(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from plakar_ray.pipelines.pages import page_near_dup_clusters, read_pages
+    from plakar_ray.opts import ChunkerOpts
+    from plakar_ray.sources.pages import synthesize_pages
+
+    pages, expected = synthesize_pages(n_pages=200, seed=11)
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, path)
+    urls = pages.column("url").to_pylist()
+    cl = page_near_dup_clusters(
+        read_pages(path), "fastcdc-v1.0.0", ChunkerOpts(64, 2048, 256)
+    )
+    by_url = dict(zip(cl.column("url").to_pylist(), cl.column("cluster_url").to_pylist()))
+    exact = [
+        (urls[a], urls[b])
+        for a, b, k in zip(
+            expected.column("id_a").to_pylist(),
+            expected.column("id_b").to_pylist(),
+            expected.column("kind").to_pylist(),
+        )
+        if k == "exact"
+    ]
+    assert exact
+    for ua, ub in exact:
+        assert by_url.get(ua, ua) == by_url.get(ub, ub)
+
+
+def test_cli_analyze(ray_session, tmp_path, capsys):
+    # CLI shares the session-scoped ray (guarded init); run analyze on a tiny
+    # parquet table.
+    import pyarrow.parquet as pq
+
+    from plakar_ray import cli
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), type=pa.int64()),
+            "text": pa.array(["hello world " * 50] * 8),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, path)
+    code = cli.main(["analyze", "--input", path, "--min", "64", "--avg", "128", "--max", "512",
+                     "--algo", "fastcdc-v1.0.0"])
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "dedup_ratio" in out
