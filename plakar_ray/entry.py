@@ -364,6 +364,31 @@ def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_ratio_sweep(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.sweeps import dedup_ratio_sweep
+
+    return dedup_ratio_sweep(
+        lambda: _docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0",
+        avgs=[256, 512, 1024],
+    )
+
+
+def q_resync_sweep(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.sweeps import resync_sweep
+
+    return resync_sweep(
+        lambda: _docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL,
+        edit_counts=[0, 1, 4, 16],
+    )
+
+
+def q_length_histogram(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.sweeps import length_histogram
+
+    return length_histogram(_docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL,
+                            n_buckets=32)
+
+
 def queries():
     return {
         "chunk_explode_fixed": q_chunk_explode_fixed,
@@ -389,6 +414,9 @@ def queries():
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "dedup_ratio_sweep": q_dedup_ratio_sweep,
+        "resync_sweep": q_resync_sweep,
+        "length_histogram": q_length_histogram,
     }
 
 
