@@ -41,12 +41,22 @@ _keyed_cache: dict[bytes, np.ndarray] = {}
 
 
 def has_blake3() -> bool:
-    try:
-        import blake3  # noqa: F401
+    """Keyed chunking is always available: the native blake3 wheel is used
+    when importable, else the pure-Python spec implementation (the
+    derivation runs once per key, 2 KiB of output)."""
+    return True
 
-        return True
+
+def _blake3_digest(data: bytes, key: bytes | None, out_len: int) -> bytes:
+    try:
+        import blake3
+
+        h = blake3.blake3(data, key=key) if key is not None else blake3.blake3(data)
+        return h.digest(length=out_len)
     except ImportError:
-        return False
+        from plakar_ray.functions.blake3_pure import blake3 as b3
+
+        return b3(data, key=key, out_len=out_len)
 
 
 def get_gear_table(key: bytes | None) -> np.ndarray:
@@ -58,16 +68,12 @@ def get_gear_table(key: bytes | None) -> np.ndarray:
     """
     if key is None:
         return GEAR
-    import blake3  # gated: raises ImportError when the wheel is absent
-
-    cache_key = blake3.blake3(key).digest()
+    cache_key = _blake3_digest(key, None, 32)
     cached = _keyed_cache.get(cache_key)
     if cached is not None:
         return cached
-    hasher = blake3.blake3(key=key)
-    for v in GEAR.tolist():
-        hasher.update(int(v).to_bytes(8, "little"))
-    raw = hasher.digest(length=8 * 256)
+    msg = b"".join(int(v).to_bytes(8, "little") for v in GEAR.tolist())
+    raw = _blake3_digest(msg, key, 8 * 256)
     table = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
     table.flags.writeable = False
     _keyed_cache[cache_key] = table

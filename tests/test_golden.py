@@ -7,8 +7,9 @@ byte-exactly by plakar_ray.goprng — compared against the *reference's own*
 tests/testdata/golden.json fingerprints.
 
 The default run covers every algorithm on the 2K-8K-64K profile plus all
-cheap shapes everywhere; RUN_SLOW=1 runs all 108 non-keyed cases (the 18
-kfastcdc cases need blake3, feature-gated). Fingerprint = (chunk count,
+cheap shapes everywhere; RUN_SLOW=1 runs all 126 cases. Keyed chunking
+(kfastcdc) uses the native blake3 wheel when present, else the pure-Python
+spec implementation (functions/blake3_pure.py). Fingerprint = (chunk count,
 sha256 over little-endian uint64 lengths, sha256 of content).
 """
 
@@ -18,7 +19,6 @@ import os
 
 import pytest
 
-from plakar_ray.gear import has_blake3
 from plakar_ray.goprng import go_rand_bytes
 from plakar_ray.opts import PROFILES, ChunkerOpts
 from plakar_ray.registry import chunk_lengths
@@ -97,14 +97,10 @@ def _cases(full: bool):
 
 @pytest.mark.parametrize("algo,size,shape", list(_cases(full=False)))
 def test_golden_default(golden, algo, size, shape):
-    if algo == "kfastcdc" and not has_blake3():
-        pytest.skip("kfastcdc needs blake3 (not in this environment)")
     _check(golden, algo, size, shape)
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("algo,size,shape", list(_cases(full=True)))
 def test_golden_full(golden, algo, size, shape):
-    if algo == "kfastcdc" and not has_blake3():
-        pytest.skip("kfastcdc needs blake3 (not in this environment)")
     _check(golden, algo, size, shape)

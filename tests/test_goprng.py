@@ -36,3 +36,33 @@ def test_block_vectorized_equals_scalar():
         scalar._read_val >>= 8
         scalar._read_pos -= 1
     assert GoRand(3).read(4000) == bytes(out)
+
+
+def test_blake3_pure_spec_vectors():
+    from plakar_ray.functions.blake3_pure import blake3
+
+    assert (
+        blake3(b"").hex()
+        == "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    # XOF prefix property + multi-block XOF length
+    assert blake3(b"abc", out_len=96)[:32] == blake3(b"abc")
+    assert len(blake3(b"abc", out_len=2048)) == 2048
+
+
+def test_keyed_gear_table_cache():
+    # geartable_cache_test.go semantics: same key -> same cached table,
+    # different key -> different table, keyed != static.
+    import numpy as np
+
+    from plakar_ray.gear import GEAR, get_gear_table
+
+    k1 = bytes(range(32))
+    k2 = bytes(range(1, 33))
+    t1 = get_gear_table(k1)
+    t1b = get_gear_table(k1)
+    assert t1 is t1b  # process-wide cache hit
+    t2 = get_gear_table(k2)
+    assert not np.array_equal(t1, t2)
+    assert not np.array_equal(t1, GEAR)
+    assert get_gear_table(None) is GEAR
