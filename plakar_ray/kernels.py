@@ -48,10 +48,11 @@ _SHIFTS = np.maximum(_sh[:, None] - _sh[None, :], 0).astype(np.uint64)
 _VALID = (_sh[:, None] >= _sh[None, :])
 
 
-def _gear_window64(h: np.ndarray) -> np.ndarray:
+def _gear_window64(h: np.ndarray, in_place: bool = False) -> np.ndarray:
     """F[i] = Sigma_{j=0}^{63} h[i-j] << j (mod 2^64), prefix-truncated for
-    i < 63, via log-doubling: 6 shifted adds instead of 64."""
-    f = h.copy()
+    i < 63, via log-doubling: 6 shifted adds instead of 64. in_place=True
+    destroys h (callers passing a fresh gather temp skip a copy)."""
+    f = h if in_place else h.copy()
     for k in range(6):
         s = 1 << k
         if s >= f.shape[0]:
@@ -70,22 +71,40 @@ import os as _os
 _TILE = 1 << int(_os.environ.get("PLAKAR_TILE_POW", "16"))
 
 
-def _gear_candidates(data: np.ndarray, gear: np.ndarray, test) -> tuple[list, list]:
+def _gear_candidates(
+    data: np.ndarray, gear: np.ndarray, test, premask: int | None = None
+) -> tuple[list, list]:
     """Scan the whole buffer tile-by-tile (63-byte overlap keeps the window-64
     hash exact across tile edges) and return (positions, hash values) of all
-    positions where test(F) holds, as Python lists for fast resolution."""
+    positions where test(F) holds, as Python lists for fast resolution.
+
+    `premask`: a necessary-condition mask ((F & premask) == 0 for every true
+    candidate — e.g. the intersection of the strict and loose masks); the
+    dense test then runs in 3 array passes and `test` only on the sparse
+    prefiltered values. premask == the exact mask <=> test may be None."""
     n = data.shape[0]
     idx_parts: list[np.ndarray] = []
     f_parts: list[np.ndarray] = []
+    pm = _U64(premask) if premask is not None else None
     for start in range(0, n, _TILE):
         lo = max(0, start - 63)
         hi = min(n, start + _TILE)
-        f = _gear_window64(gear[data[lo:hi]])
+        f = _gear_window64(gear[data[lo:hi]], in_place=True)
         seg = f[start - lo :]
-        rel = np.nonzero(test(seg))[0]
+        if pm is not None:
+            rel = np.nonzero((seg & pm) == 0)[0]
+            if rel.shape[0] == 0:
+                continue
+            vals = seg[rel]
+            if test is not None:
+                keep = test(vals)
+                rel, vals = rel[keep], vals[keep]
+        else:
+            rel = np.nonzero(test(seg))[0]
+            vals = seg[rel]
         if rel.shape[0]:
             idx_parts.append(rel + start)
-            f_parts.append(seg[rel])
+            f_parts.append(vals)
     if not idx_parts:
         return [], []
     return (
@@ -212,7 +231,9 @@ def boundaries_fastcdc(
 
     ms, ml = _U64(mask_s), _U64(mask_l)
     cand_pos, cand_fp = _gear_candidates(
-        data, gear, lambda f: ((f & ms) == 0) | ((f & ml) == 0)
+        data, gear,
+        lambda f: ((f & ms) == 0) | ((f & ml) == 0),
+        premask=mask_s & mask_l,
     )
     ims, iml = int(mask_s), int(mask_l)
 
@@ -279,7 +300,7 @@ def boundaries_jc(
         return np.empty(0, dtype=np.int64)
 
     mc, mj = _U64(mask_c), _U64(mask_j)
-    cand_pos, cand_fp = _gear_candidates(data, gear, lambda f: (f & mj) == 0)
+    cand_pos, cand_fp = _gear_candidates(data, gear, None, premask=mask_j)
     imc = int(mask_c)
 
     lengths: list[int] = []
