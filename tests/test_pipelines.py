@@ -211,3 +211,27 @@ def test_label_propagation_matches_unionfind(ray_session):
         )
     )
     assert got == want
+
+
+def test_hot_bucket_skew_salted(ray_session):
+    """Boilerplate skew: thousands of identical docs form one hot LSH
+    bucket. Salted keys bound every shuffle group while preserving the
+    single-cluster result (north_rule's explicit skew handling)."""
+    import ray.data
+
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    text = "boilerplate page " * 200
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1500), type=pa.int64()),
+            "text": pa.array([text] * 1500),
+        }
+    )
+    cl = near_dup_clusters(
+        _ds(table), "fastcdc-v1.0.0", SMALL, num_perm=96, bands=32,
+        salt_buckets=8,
+    ).to_pandas()
+    assert len(cl) == 1500
+    assert cl.cluster_id.nunique() == 1
+    assert cl.cluster_id.iloc[0] == 0
