@@ -216,7 +216,7 @@ def q_doc_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact distinct-token Jaccard for all doc pairs >= 0.3 (n-gram Jaccard
+    """Exact distinct-token Jaccard for all doc pairs >= 0.5 (n-gram Jaccard
     family, unigram flavor — SQL-mirrorable via list_distinct/list_intersect).
     """
     import pyarrow.compute as pc
@@ -364,6 +364,31 @@ def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pages_extract_digests(sf_dir: str) -> pa.Table:
+    """Pages derived from documents -> extract_text -> per-url sha256: the
+    driver-checkable form of the byte-identical-extracted-text invariant."""
+    from plakar_ray.pipelines.pages import extract_text_batch, text_digests
+    from plakar_ray.sources.pages import pages_from_documents
+
+    ds = pages_from_documents(sf_dir).map_batches(
+        extract_text_batch, batch_format="pyarrow"
+    )
+    return text_digests(ds)
+
+
+def q_unique_chunk_store(sf_dir: str) -> pa.Table:
+    """Content-addressed store build (unique-by-digest sink) summary."""
+    import tempfile
+
+    from plakar_ray.pipelines.store import write_unique_chunks
+
+    with tempfile.TemporaryDirectory(prefix="plakar_store_") as out:
+        s = write_unique_chunks(
+            _docs(sf_dir, ["doc_id", "text"]), out, "fastcdc-v1.0.0", SMALL
+        )
+    return pa.table({k: [v] for k, v in s.items()})
+
+
 def q_dedup_ratio_sweep(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.sweeps import dedup_ratio_sweep
 
@@ -417,6 +442,8 @@ def queries():
         "dedup_ratio_sweep": q_dedup_ratio_sweep,
         "resync_sweep": q_resync_sweep,
         "length_histogram": q_length_histogram,
+        "pages_extract_digests": q_pages_extract_digests,
+        "unique_chunk_store": q_unique_chunk_store,
     }
 
 
@@ -535,6 +562,11 @@ def oracle_sql():
               AND len(list_intersect(a.toks, b.toks)) /
                   (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "pages_extract_digests": """
+            SELECT 'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
+                   sha256(text) AS text_sha256
+            FROM documents ORDER BY url
         """,
         "events_window": """
             SELECT date_trunc('hour', ts) AS window_start,

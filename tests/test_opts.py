@@ -135,3 +135,23 @@ def test_registry_names_verbatim():
         "ultracdc", "ultracdc-v1.0.0",
         "fastcdc4stadia", "fixed-v1.0.0",
     }
+
+
+def test_unknown_algorithm():
+    from plakar_ray.registry import get_algorithm
+
+    with pytest.raises(KeyError):
+        get_algorithm("nope-v9")
+
+
+def test_chunk_lengths_accepts_bytes_and_arrays():
+    import numpy as np
+
+    from plakar_ray.registry import chunk_lengths
+
+    data = b"x" * 5000
+    a = chunk_lengths("fastcdc-v1.0.0", data, ChunkerOpts(64, 2048, 256))
+    b = chunk_lengths(
+        "fastcdc-v1.0.0", np.frombuffer(data, dtype=np.uint8), ChunkerOpts(64, 2048, 256)
+    )
+    assert a.tolist() == b.tolist()
