@@ -124,6 +124,23 @@ def bench_signatures(corpus, num_cpus: int) -> dict:
     return {"wall_s": round(wall, 3), "rows": int(n), "mb_per_s": round(total_mb / wall, 1)}
 
 
+def bench_algos(corpus, num_cpus: int) -> dict:
+    """Per-algorithm distributed chunking MB/s on the same corpus — the
+    comparison row for the reference's README benchmark table."""
+    from plakar_ray.stages.chunk import chunk_dataset
+
+    out = {}
+    for algo in ["fastcdc", "jc", "jc-v1.1.0", "ultracdc", "fastcdc4stadia"]:
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            chunk_dataset(corpus, algo, None, batch_size=1, with_digest=False).count()
+            wall = time.time() - t0
+            best = max(best, (CORPUS_DOCS * DOC_BYTES) / 1e6 / wall)
+        out[algo] = round(best, 1)
+    return out
+
+
 def bench_queries(sf_dir: str) -> dict:
     from plakar_ray import entry as E
 
@@ -168,6 +185,7 @@ def run_once(mode: str) -> dict:
         result["signatures"] = best(bench_signatures)
     result["minhash"] = best(bench_minhash)
     if mode == "full":
+        result["algos"] = bench_algos(corpus, NUM_CPUS)
         result["queries"] = bench_queries(SF_DIR)
     import ray
 
@@ -242,6 +260,7 @@ def main():
         "num_cpus": NUM_CPUS,
         "chunking_mb_per_s": r["chunking"]["mb_per_s"],
         "minhash_mb_per_s": r["minhash"]["mb_per_s"],
+        "algo_mb_per_s": r["algos"],
         "chunks": r["chunking"]["chunks"],
     }
     print(json.dumps(out))
