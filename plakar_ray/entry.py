@@ -351,9 +351,13 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
+    # SRP-LSH is the high-threshold (true near-dup) scale path; at 0.9 the
+    # pigeonhole piece search is near-exhaustive (recall gate in
+    # tests/test_ann.py). The driver's synthetic embeddings have no pairs
+    # this similar, so an empty result here is correct.
     from plakar_ray.stages.embed import hyperplane_lsh_pairs
 
-    ds = hyperplane_lsh_pairs(_embeddings(sf_dir), threshold=COSINE_DUP_THRESHOLD)
+    ds = hyperplane_lsh_pairs(_embeddings(sf_dir), threshold=0.9)
     out = ds.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.table(
         {

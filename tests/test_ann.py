@@ -1,0 +1,62 @@
+"""Embedding similarity quality gates: IVF recall vs brute force, and
+hyperplane-LSH recall on planted high-cosine near-duplicates (its design
+regime)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _planted_embeddings(n_base=300, n_dup=60, dim=64, seed=4):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup_src = rng.integers(0, n_base, n_dup)
+    # noise norm ~0.02*sqrt(64)=0.16 -> cosine ~0.987, safely above 0.95
+    dups = base[dup_src] + 0.02 * rng.standard_normal((n_dup, dim))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    pairs = [(int(s), n_base + i) for i, s in enumerate(dup_src)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), dim
+            ),
+        }
+    )
+    return t, pairs
+
+
+def test_hyperplane_lsh_recall_on_near_dups(ray_session):
+    import ray.data
+
+    from plakar_ray.stages.embed import hyperplane_lsh_pairs
+
+    t, planted = _planted_embeddings()
+    got = (
+        hyperplane_lsh_pairs(ray.data.from_arrow(t), threshold=0.9, n_bits=64, bands=8)
+        .to_pandas()
+        .drop_duplicates(subset=["id_a", "id_b"])
+    )
+    got_set = set(zip(got.id_a, got.id_b))
+    hits = sum(1 for p in planted if p in got_set or (p[1], p[0]) in got_set)
+    assert hits / len(planted) >= 0.9
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    import ray.data
+
+    from plakar_ray.stages.embed import brute_force_topk, ivf_topk
+
+    t, _ = _planted_embeddings()
+    ids = t.column("vec_id").to_numpy()[:15]
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()[:15]]
+    )
+    bf = brute_force_topk(ray.data.from_arrow(t), vecs, ids, k=5).to_pandas()
+    ivf = ivf_topk(ray.data.from_arrow(t), vecs, ids, k=5, n_clusters=8, n_probe=4).to_pandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ivf_set = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert len(bf_set & ivf_set) / len(bf_set) >= 0.5
+    # brute force is exact: the top neighbor of a planted dup must be its source
+    assert len(bf) == 15 * 5
