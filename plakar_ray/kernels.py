@@ -302,6 +302,11 @@ def boundaries_jc(
     mc, mj = _U64(mask_c), _U64(mask_j)
     cand_pos, cand_fp = _gear_candidates(data, gear, None, premask=mask_j)
     imc = int(mask_c)
+    # Note: batching all candidate-derived warm-ups into one (m, 63) scan was
+    # tried and measured SLOWER here — only ~25% of candidate positions become
+    # real segment starts, and this host's memory throughput makes computing
+    # 4x the needed warm-ups cost more than the per-segment matrix calls.
+    warm_cache: dict[int, tuple[int, int]] = {}
 
     lengths: list[int] = []
     s = 0
@@ -325,8 +330,13 @@ def boundaries_jc(
             warm_end = min(seg + 63, end)
             event = -1  # absolute position of first maskJ hit
             event_fp = 0
-            L = warm_end - seg
-            if L > 0:
+            cached = warm_cache.get(seg)
+            if cached is not None:
+                d, fp = cached
+                if d >= 0 and seg + d < warm_end:
+                    event = seg + d
+                    event_fp = fp
+            elif warm_end - seg > 0:
                 fps = _warm_fps(gear[data[seg:warm_end]])
                 hits = np.nonzero((fps & mj) == 0)[0]
                 if hits.shape[0]:
