@@ -393,6 +393,57 @@ def q_unique_chunk_store(sf_dir: str) -> pa.Table:
     return pa.table({k: [v] for k, v in s.items()})
 
 
+def q_orders_by_region(sf_dir: str) -> pa.Table:
+    """Broadcast-join demo on the star schema: orders -> customer -> nation
+    -> region (all dimension sides broadcast, fact side streams; the
+    at-scale replacement for shuffle joins). (region_name, n_orders,
+    total_e2): totals fixed-point to dodge float summation order."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plakar_ray.functions.join import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_join(orders, cust, on="o_custkey", small_on="c_custkey")
+    joined = broadcast_join(joined, nation, on="c_nationkey", small_on="n_nationkey")
+    joined = broadcast_join(joined, region, on="n_regionkey", small_on="r_regionkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("r_name").aggregate(
+            [("o_totalprice", "sum"), ("r_name", "count")]
+        )
+        return pa.table(
+            {
+                "region_name": g.column("r_name"),
+                "n_orders": g.column("r_name_count").cast(pa.int64()),
+                "price_sum": g.column("o_totalprice_sum").cast(pa.float64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    final = (
+        parts.groupby("region_name")
+        .sum(["n_orders", "price_sum"])
+        .to_pandas()
+        .sort_values("region_name")
+    )
+    e2 = np.floor(final["sum(price_sum)"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "region_name": pa.array(final["region_name"]),
+            "n_orders": pa.array(final["sum(n_orders)"], type=pa.int64()),
+            "total_e2": pa.array(e2, type=pa.int64()),
+        }
+    )
+
+
 def q_dedup_ratio_sweep(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.sweeps import dedup_ratio_sweep
 
@@ -448,6 +499,7 @@ def queries():
         "length_histogram": q_length_histogram,
         "pages_extract_digests": q_pages_extract_digests,
         "unique_chunk_store": q_unique_chunk_store,
+        "orders_by_region": q_orders_by_region,
     }
 
 
@@ -571,6 +623,16 @@ def oracle_sql():
             SELECT 'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
                    sha256(text) AS text_sha256
             FROM documents ORDER BY url
+        """,
+        "orders_by_region": """
+            SELECT r.r_name AS region_name,
+                   count(*)::BIGINT AS n_orders,
+                   floor(sum(o.o_totalprice) * 100 + 0.5)::BIGINT AS total_e2
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
         """,
         "events_window": """
             SELECT date_trunc('hour', ts) AS window_start,

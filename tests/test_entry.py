@@ -67,3 +67,25 @@ def test_query_matches_oracle(ray_session, con, name):
             assert np.array_equal(av.astype(np.float64), bv.astype(np.float64)), c
         else:
             assert (av == bv).all(), c
+
+
+def test_broadcast_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from plakar_ray.functions.join import broadcast_join
+
+    big = pa.table(
+        {"k": pa.array([1, 2, 3, 2, 9], type=pa.int64()), "v": pa.array([10, 20, 30, 21, 99])}
+    )
+    dim = pa.table({"key": pa.array([1, 2, 3], type=pa.int64()), "name": pa.array(["a", "b", "c"])})
+    inner = (
+        broadcast_join(ray.data.from_arrow(big), dim, on="k", small_on="key")
+        .to_pandas()
+        .sort_values(["k", "v"])
+    )
+    assert len(inner) == 4  # k=9 dropped
+    assert list(inner.name) == ["a", "b", "b", "c"]
+    left = broadcast_join(ray.data.from_arrow(big), dim, on="k", small_on="key", how="left").to_pandas()
+    assert len(left) == 5
+    assert left.loc[left.k == 9, "name"].isna().all()
