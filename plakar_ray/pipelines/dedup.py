@@ -157,6 +157,64 @@ def near_dup_clusters(
     )
 
 
+def near_dup_clusters_resumable(
+    input_files: list[str],
+    checkpoint_dir: str,
+    algo: str = "fastcdc",
+    opts: ChunkerOpts | None = None,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 1337,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int | None = None,
+) -> pa.Table:
+    """Checkpoint-resumable flagship: one lineage partition per input shard.
+
+    The expensive stage (chunk+digest+signature) runs through
+    state.lineage.run_stage — each input Parquet shard becomes a partition
+    whose signature table is written once and skipped on re-runs (manifest
+    rows carry the shard path + mtime digest). The LSH + clustering tail is
+    cheap relative to signatures and re-runs from the checkpointed signature
+    dataset. This is the 100 TB deployment shape: resume = anti-join of
+    shards against completed manifests."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from plakar_ray.stages.lsh import candidate_pairs
+    from plakar_ray.stages.minhash import MinHashStage
+    from plakar_ray.state.lineage import Partition, digest_of, run_stage
+
+    def sign_shard(path: str) -> pa.Table:
+        stage = MinHashStage(
+            algo, opts, num_perm=num_perm, seed=seed, id_col=id_col, text_col=text_col
+        )
+        return stage(pq.read_table(path, columns=[id_col, text_col]))
+
+    parts = [
+        Partition(
+            part_id=f"shard{i:04d}",
+            payload=path,
+            input_digest=digest_of(path, os.path.getmtime(path), algo, num_perm, seed, opts),
+        )
+        for i, path in enumerate(sorted(input_files))
+    ]
+    sig_ds, skipped, ran = run_stage(checkpoint_dir, "signatures", parts, sign_shard)
+
+    edges = candidate_pairs(
+        sig_ds, bands=bands, id_col=id_col, salt_buckets=salt_buckets, checkpoint=False
+    )
+    comp = connected_components_ds(edges)
+    ids = sorted(comp)
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array([comp[i] for i in ids], type=pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------------- resync ---
 
 

@@ -37,3 +37,46 @@ def test_store_roundtrip(ray_session, tmp_path):
     recipes = sum(pq.read_metadata(p).num_rows for p in glob.glob(f"{out}/recipes/*.parquet"))
     assert stored == summary["unique_chunks"]
     assert stored < recipes  # dups collapsed
+
+
+def test_resumable_flagship(ray_session, tmp_path):
+    """near_dup_clusters_resumable: shard-partitioned signatures with
+    manifest resume; clusters identical to the non-resumable pipeline."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from plakar_ray.opts import ChunkerOpts
+    from plakar_ray.pipelines.dedup import near_dup_clusters, near_dup_clusters_resumable
+    from plakar_ray.sources.pages import synthesize_pages
+    from plakar_ray.state.lineage import LineageLog
+
+    pages, _ = synthesize_pages(n_pages=200, seed=31)
+    pages = pages.rename_columns(
+        ["doc_id" if c == "page_id" else c for c in pages.column_names]
+    )
+    shards = []
+    for i in range(4):
+        p = str(tmp_path / f"shard{i}.parquet")
+        pq.write_table(pages.slice(i * 50, 50), p)
+        shards.append(p)
+
+    opts = ChunkerOpts(64, 2048, 256)
+    ckpt = str(tmp_path / "ckpt")
+    cl1 = near_dup_clusters_resumable(shards, ckpt, "fastcdc-v1.0.0", opts,
+                                      num_perm=96, bands=32)
+    # Baseline: in-memory pipeline over the same rows.
+    base = near_dup_clusters(ray.data.from_arrow(pages), "fastcdc-v1.0.0", opts,
+                             num_perm=96, bands=32)
+    as_map = lambda t: dict(zip(t.column("doc_id").to_pylist(),
+                                t.column("cluster_id").to_pylist()))
+    assert as_map(cl1) == as_map(base)
+
+    # Drop one manifest -> only that shard recomputes; clusters unchanged.
+    log = LineageLog(ckpt, "signatures")
+    os.remove(log._mpath("shard0002"))
+    cl2 = near_dup_clusters_resumable(shards, ckpt, "fastcdc-v1.0.0", opts,
+                                      num_perm=96, bands=32)
+    assert as_map(cl2) == as_map(base)
+    assert len(log.manifest()) == 4
