@@ -358,7 +358,16 @@ def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
     from plakar_ray.stages.embed import hyperplane_lsh_pairs
 
     ds = hyperplane_lsh_pairs(_embeddings(sf_dir), threshold=0.9)
-    out = ds.to_pandas().drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    out = ds.to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "cosine_est": pa.array([], type=pa.float64()),
+            }
+        )
+    out = out.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.table(
         {
             "id_a": pa.array(out["id_a"], type=pa.int64()),
