@@ -9,7 +9,7 @@ re-derived and re-expressed.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 MiB = 1024 * 1024
 GiB = 1024 * MiB

@@ -12,7 +12,7 @@ All arithmetic is explicitly wrapped mod 2^64 (& MASK64) to match Go uint64.
 
 from __future__ import annotations
 
-from plakar_ray.gear import GEAR, GEAR64_STADIA, get_gear_table
+from plakar_ray.gear import GEAR, GEAR64_STADIA
 from plakar_ray.opts import (
     MASK64,
     ULTRACDC_LEST,

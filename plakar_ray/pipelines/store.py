@@ -16,7 +16,6 @@ import numpy as np
 import pyarrow as pa
 
 from plakar_ray.opts import ChunkerOpts
-from plakar_ray.stages.chunk import chunk_dataset
 
 
 class _ChunkWithBytes:

@@ -51,8 +51,6 @@ def doc_fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
 def token_stats_by_lang(ds, lang_col: str = "lang", text_col: str = "text") -> pa.Table:
     """(lang, docs, tokens_sum, chars_sum) ordered by lang — corpus token
     accounting, pre-aggregated per batch before the (tiny) lang groupby."""
-    import pyarrow.compute as pc
-
     def partial(batch: pa.Table) -> pa.Table:
         st = text_stats_batch(batch, lang_col, text_col)  # id_col=lang passthrough
         t = pa.table(

@@ -22,7 +22,6 @@ from plakar_ray.opts import (
     DEFAULTS_STADIA,
     DEFAULTS_ULTRACDC,
     ChunkerOpts,
-    OptionError,
     fastcdc_masks,
     jc_jump_length,
     jc_masks,
