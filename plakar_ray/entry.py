@@ -291,6 +291,12 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return t.append_column("value_sum_e4", pa.array(e4, type=pa.int64()))
 
 
+def q_events_hopping_window(sf_dir: str) -> pa.Table:
+    from plakar_ray.pipelines.events import hopping_window_counts
+
+    return hopping_window_counts(_events(sf_dir, ["ts", "event_type"]))
+
+
 def q_events_sessionize(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.events import sessionize
 
@@ -498,6 +504,7 @@ def queries():
         "doc_fingerprints": q_doc_fingerprints,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "events_window": q_events_window,
+        "events_hopping_window": q_events_hopping_window,
         "events_sessionize": q_events_sessionize,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -650,6 +657,18 @@ def oracle_sql():
                    floor(sum(value) * 10000 + 0.5)::BIGINT AS value_sum_e4
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_hopping_window": """
+            WITH e AS (
+              SELECT unnest([
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+                     ]) AT TIME ZONE 'UTC' AS window_start,
+                     event_type
+              FROM events
+            )
+            SELECT window_start, event_type, count(*)::BIGINT AS n_events
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_sessionize": """
             WITH g AS (

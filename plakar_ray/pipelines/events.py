@@ -59,6 +59,65 @@ def tumbling_window_counts(
     )
 
 
+def hopping_window_counts(
+    ds,
+    window_s: int = 3600,
+    hop_s: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> pa.Table:
+    """Hopping (sliding) windows: each event lands in window_s/hop_s
+    overlapping windows, emitted via a vectorized flat-map, then the same
+    partial-count groupby as tumbling windows.
+    Returns (window_start, event_type, n_events) ordered."""
+    import numpy as np
+
+    assert window_s % hop_s == 0
+    k = window_s // hop_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop_us = hop_s * 1_000_000
+        base = (ts // hop_us) * hop_us  # most recent hop boundary <= ts
+        n = ts.shape[0]
+        starts = base[:, None] - np.arange(k)[None, :] * hop_us  # (n, k)
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        take = pa.array(np.repeat(np.arange(n), k), type=pa.int64())
+        t = pa.table(
+            {
+                "window_start": pa.array(starts.reshape(-1), type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                key_col: keys.take(take),
+            }
+        )
+        g = t.group_by(["window_start", key_col]).aggregate([("window_start", "count")])
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                key_col: g.column(key_col),
+                "partial": g.column("window_start_count").cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    final = (
+        parts.groupby(["window_start", key_col])
+        .sum("partial")
+        .to_pandas()
+        .sort_values(["window_start", key_col])
+    )
+    return pa.table(
+        {
+            "window_start": pa.array(final["window_start"]),
+            key_col: pa.array(final[key_col]),
+            "n_events": pa.array(final["sum(partial)"], type=pa.int64()),
+        }
+    )
+
+
 def sessionize(
     ds,
     gap_seconds: int = 1800,
