@@ -297,6 +297,45 @@ def q_events_hopping_window(sf_dir: str) -> pa.Table:
     return hopping_window_counts(_events(sf_dir, ["ts", "event_type"]))
 
 
+def q_events_asof_purchase(sf_dir: str) -> pa.Table:
+    """As-of join: every non-purchase event annotated with the user's most
+    recent prior purchase (ts + value)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from plakar_ray.pipelines.events import asof_join
+
+    right = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+    right = right.filter(pc.equal(right.column("event_type"), "purchase"))
+    # Dedup ties on (user_id, ts): keep max(value), matching the SQL CTE.
+    rg = right.group_by(["user_id", "ts"]).aggregate([("value", "max")])
+    right = pa.table(
+        {
+            "user_id": rg.column("user_id"),
+            "ts": rg.column("ts"),
+            "value": rg.column("value_max"),
+        }
+    )
+    left = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]).filter(
+        expr="event_type != 'purchase'"
+    )
+    joined = asof_join(left, right, key_col="user_id", ts_col="ts")
+    out = joined.to_pandas().sort_values("event_id")
+    # Null-free output (no-match sentinel): value hashing across engines is
+    # deterministic without NaT/NaN rows.
+    ts_col = pa.array(out["asof_ts"]).cast(pa.timestamp("us")).fill_null(0)
+    val_col = pa.array(out["asof_value"], type=pa.float64()).fill_null(-1.0)
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"], type=pa.int64()),
+            "purchase_ts": ts_col,
+            "purchase_value": val_col,
+        }
+    )
+
+
 def q_events_sessionize(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.events import sessionize
 
@@ -505,6 +544,7 @@ def queries():
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "events_window": q_events_window,
         "events_hopping_window": q_events_hopping_window,
+        "events_asof_purchase": q_events_asof_purchase,
         "events_sessionize": q_events_sessionize,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -669,6 +709,19 @@ def oracle_sql():
             )
             SELECT window_start, event_type, count(*)::BIGINT AS n_events
             FROM e GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_asof_purchase": """
+            WITH p AS (
+              SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id,
+                   COALESCE(r.ts, TIMESTAMP '1970-01-01') AS purchase_ts,
+                   COALESCE(r.purchase_value, -1.0) AS purchase_value
+            FROM events l
+            ASOF LEFT JOIN p r ON l.user_id = r.user_id AND l.ts >= r.ts
+            WHERE l.event_type <> 'purchase'
+            ORDER BY l.event_id
         """,
         "events_sessionize": """
             WITH g AS (

@@ -118,6 +118,73 @@ def hopping_window_counts(
     )
 
 
+def asof_join(
+    left_ds,
+    right: pa.Table,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+) -> "object":
+    """As-of join: for every left row, the right row with the largest
+    ts' <= ts for the same key (None when no prior right row exists).
+
+    Ray Data has no join; the scale pattern here is broadcast-small-side:
+    the right table is grouped into per-key sorted timestamp arrays, shipped
+    once with ray.put, and each batch resolves matches with np.searchsorted.
+    (A large right side would instead co-shuffle both sides with
+    groupby(key).map_groups and merge per key.) Right-side ties on
+    (key, ts) must be pre-aggregated by the caller."""
+    import numpy as np
+    import ray
+
+    rk = right.column(key_col).to_numpy(zero_copy_only=False)
+    rt = right.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((rt, rk))
+    rk, rt = rk[order], rt[order]
+    rvals = {c: right.column(c).to_numpy(zero_copy_only=False)[order] for c in value_cols}
+    index: dict[int, tuple[np.ndarray, dict]] = {}
+    start = 0
+    for i in range(1, rk.shape[0] + 1):
+        if i == rk.shape[0] or rk[i] != rk[start]:
+            index[int(rk[start])] = (
+                rt[start:i],
+                {c: v[start:i] for c, v in rvals.items()},
+            )
+            start = i
+    right_ref = ray.put(index)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        idx = ray.get(right_ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = keys.shape[0]
+        match_ts = np.full(n, -1, dtype=np.int64)
+        cols_out = {c: [None] * n for c in value_cols}
+        for i in range(n):
+            ent = idx.get(int(keys[i]))
+            if ent is None:
+                continue
+            t_arr, vals = ent
+            j = int(np.searchsorted(t_arr, ts[i], side="right")) - 1
+            if j >= 0:
+                match_ts[i] = t_arr[j]
+                for c in value_cols:
+                    cols_out[c][i] = vals[c][j].item()
+        out = batch
+        out = out.append_column(
+            prefix + "ts",
+            pa.array(
+                [int(t) if t >= 0 else None for t in match_ts.tolist()], type=pa.int64()
+            ).cast(pa.timestamp("us")),
+        )
+        for c in value_cols:
+            out = out.append_column(prefix + c, pa.array(cols_out[c], type=pa.float64()))
+        return out
+
+    return left_ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sessionize(
     ds,
     gap_seconds: int = 1800,
