@@ -498,6 +498,39 @@ def q_orders_by_region(sf_dir: str) -> pa.Table:
     )
 
 
+def q_train_val_split(sf_dir: str) -> pa.Table:
+    """Leakage-free deterministic train/val split by content hash (identical
+    texts always land in the same split — the dedup-aware way to split
+    training corpora). val fraction ~20%: first md5 byte < 51."""
+    import hashlib
+
+    from plakar_ray.functions.arrowbytes import byte_views
+
+    def split_batch(batch: pa.Table) -> pa.Table:
+        data, offsets = byte_views(batch.column("text"))
+        mv = memoryview(data)
+        splits = []
+        for i in range(len(batch)):
+            b0 = hashlib.md5(mv[offsets[i] : offsets[i + 1]]).digest()[0]
+            splits.append("val" if b0 < 51 else "train")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "split": pa.array(splits)}
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(split_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "split": pa.array(out["split"]),
+        }
+    )
+
+
 def q_dedup_ratio_sweep(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.sweeps import dedup_ratio_sweep
 
@@ -556,6 +589,7 @@ def queries():
         "pages_extract_digests": q_pages_extract_digests,
         "unique_chunk_store": q_unique_chunk_store,
         "orders_by_region": q_orders_by_region,
+        "train_val_split": q_train_val_split,
     }
 
 
@@ -679,6 +713,12 @@ def oracle_sql():
             SELECT 'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
                    sha256(text) AS text_sha256
             FROM documents ORDER BY url
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(text), 1, 2))::INT < 51
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "orders_by_region": """
             SELECT r.r_name AS region_name,
