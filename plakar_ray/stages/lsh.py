@@ -135,7 +135,15 @@ def candidate_pairs(
     checkpoint=True materializes the signatures first: Ray's sort-based
     groupby executes its input more than once (boundary sampling + shuffle),
     which would re-run the expensive chunk+signature stage; the signature
-    table (~1.5 KB/doc) is also the natural lineage/resume boundary."""
+    table (~1.5 KB/doc) is also the natural lineage/resume boundary.
+    (Fusing the materialize with a repartition was measured ~2x slower than
+    materialize + band-row coalescing, so they stay separate.)"""
+    try:
+        import ray
+
+        n_part = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        n_part = 16
     if checkpoint:
         sig_ds = sig_ds.materialize()
     band_rows = sig_ds.map_batches(
@@ -151,12 +159,6 @@ def candidate_pairs(
     # Coalesce before the shuffle: band rows inherit the (often per-document)
     # input block structure, and a sort-based groupby over B blocks exchanges
     # O(B^2) objects. A handful of blocks per CPU keeps the all-to-all dense.
-    try:
-        import ray
-
-        n_part = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        n_part = 16
     try:
         well_blocked = sig_ds.num_blocks() <= 4 * n_part
     except Exception:
