@@ -159,3 +159,37 @@ def test_cli_analyze(ray_session, tmp_path, capsys):
     out = capsys.readouterr().out
     assert code == 0
     assert "dedup_ratio" in out
+
+
+def test_cli_compare_resync_cluster(ray_session, tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from plakar_ray import cli
+
+    rng = np.random.default_rng(8)
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, 5000)) for _ in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), type=pa.int64()),
+            "text": pa.array(texts + texts),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(t, path)
+    size = ["--min", "64", "--avg", "256", "--max", "2048"]
+
+    assert cli.main(["compare", "--input", path, "--a", "fastcdc-v1.0.0",
+                     "--b", "ultracdc", *size]) in (0, 1)
+    out = capsys.readouterr().out
+    assert "dedup_ratio" in out
+
+    assert cli.main(["resync", "--input", path, "--algo", "fastcdc-v1.0.0",
+                     "--edits", "2", *size]) == 0
+    assert "mean_shared_frac" in capsys.readouterr().out
+
+    outp = str(tmp_path / "clusters.parquet")
+    assert cli.main(["cluster", "--input", path, "--algo", "fastcdc-v1.0.0",
+                     *size, "--out", outp]) == 0
+    cl = pq.read_table(outp)
+    # duplicated corpus: every doc pairs with its twin
+    assert cl.num_rows == 20
