@@ -135,6 +135,16 @@ def q_minhash_lsh_clusters_salted(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ngram_minhash_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup clusters with word-3-gram shingles (classic n-gram Jaccard
+    MinHash, no CDC) — the text-native dedup flavor."""
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _docs(sf_dir, ["doc_id", "text"]), num_perm=192, bands=64, shingle="word3",
+    )
+
+
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
     from plakar_ray.stages.simhash import simhash_candidate_pairs
 
@@ -567,6 +577,7 @@ def queries():
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
         "minhash_lsh_clusters_salted": q_minhash_lsh_clusters_salted,
+        "ngram_minhash_clusters": q_ngram_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,

@@ -112,11 +112,12 @@ def near_dup_pairs(
     text_col: str = "text",
     salt_buckets: int | None = None,
     concurrency=None,
+    shingle: str = "cdc",
 ):
     """documents -> candidate near-dup edge Dataset (id_a, id_b)."""
     sigs = minhash_signatures(
         ds, algo=algo, opts=opts, num_perm=num_perm, seed=seed,
-        id_col=id_col, text_col=text_col, concurrency=concurrency,
+        id_col=id_col, text_col=text_col, concurrency=concurrency, shingle=shingle,
     )
     return candidate_pairs(
         sigs, bands=bands, id_col=id_col, salt_buckets=salt_buckets
@@ -134,6 +135,7 @@ def near_dup_clusters(
     text_col: str = "text",
     salt_buckets: int | None = None,
     concurrency=None,
+    shingle: str = "cdc",
 ) -> pa.Table:
     """Flagship: near-duplicate clusters (id, cluster_id = min member id).
     Union-find runs driver-side over the edge Dataset's batches (edges ~
@@ -141,7 +143,7 @@ def near_dup_clusters(
     state/unionfind.label_propagation for the all-distributed variant)."""
     edges = near_dup_pairs(
         ds, algo, opts, num_perm, bands, seed, id_col, text_col,
-        salt_buckets=salt_buckets, concurrency=concurrency,
+        salt_buckets=salt_buckets, concurrency=concurrency, shingle=shingle,
     )
     comp = connected_components_ds(edges)
     if not comp:

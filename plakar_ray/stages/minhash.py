@@ -39,7 +39,12 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
 
 class MinHashStage:
     """documents batch -> signatures batch (fused chunk+digest+minhash: no
-    intermediate chunk table leaves the actor)."""
+    intermediate chunk table leaves the actor).
+
+    shingle="cdc" (default): shingles are CDC chunk digests — composes with
+    the reference's chunkers; two documents share a shingle iff they share a
+    byte-identical chunk. shingle="word3": lowercased word 3-gram hashes
+    (classic n-gram Jaccard shingling, robust for short documents)."""
 
     def __init__(
         self,
@@ -49,12 +54,16 @@ class MinHashStage:
         seed: int = 1337,
         id_col: str = "doc_id",
         text_col: str = "text",
+        shingle: str = "cdc",
     ):
         self.chunker = ChunkerStage(algo, opts, id_col=id_col, text_col=text_col)
         self.num_perm = num_perm
         self.a, self.b = minhash_params(num_perm, seed)
         self.id_col = id_col
         self.text_col = text_col
+        if shingle not in ("cdc", "word3"):
+            raise ValueError(f"unknown shingle mode: {shingle}")
+        self.shingle = shingle
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(k,) uint64 shingles -> (P,) uint64 signature."""
@@ -63,6 +72,27 @@ class MinHashStage:
         return vals.min(axis=1)
 
     def doc_shingles(self, doc: np.ndarray) -> np.ndarray:
+        if self.shingle == "word3":
+            return self._word3_shingles(doc)
+        return self._cdc_shingles(doc)
+
+    def _word3_shingles(self, doc: np.ndarray) -> np.ndarray:
+        """Lowercased [a-z0-9]+ token stream -> FNV64 hash per 3-gram."""
+        import re
+
+        text = doc.tobytes().decode("utf-8", "replace").lower()
+        toks = re.findall(r"[a-z0-9]+", text)
+        if len(toks) < 3:
+            toks = toks + ["\x00"] * (3 - len(toks)) if toks else []
+        out = np.empty(max(len(toks) - 2, 0), dtype=np.uint64)
+        for i in range(out.shape[0]):
+            h = 0xCBF29CE484222325
+            for b in ("\x1f".join(toks[i : i + 3])).encode():
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h
+        return _splitmix64(out) if out.shape[0] else out
+
+    def _cdc_shingles(self, doc: np.ndarray) -> np.ndarray:
         import hashlib
 
         lengths = self.chunker.chunk_doc(doc)
@@ -107,8 +137,9 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col) -> "MinHashStage":
-    return MinHashStage(algo, opts, num_perm=num_perm, seed=seed, id_col=id_col, text_col=text_col)
+def _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col, shingle) -> "MinHashStage":
+    return MinHashStage(algo, opts, num_perm=num_perm, seed=seed, id_col=id_col,
+                        text_col=text_col, shingle=shingle)
 
 
 def minhash_signatures(
@@ -122,6 +153,7 @@ def minhash_signatures(
     concurrency=None,
     batch_size: int | None = None,
     use_actors: bool = False,
+    shingle: str = "cdc",
 ):
     """Stateless-task mode (default) caches the stage (permutation matrix +
     gear setup) once per worker process; actor mode for expensive keyed
@@ -133,7 +165,7 @@ def minhash_signatures(
             MinHashStage,
             fn_constructor_kwargs=dict(
                 algo=algo, opts=opts, num_perm=num_perm, seed=seed,
-                id_col=id_col, text_col=text_col,
+                id_col=id_col, text_col=text_col, shingle=shingle,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -142,7 +174,7 @@ def minhash_signatures(
         )
 
     def apply(batch):
-        return _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col)(batch)
+        return _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col, shingle)(batch)
 
     return ds.map_batches(
         apply, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size

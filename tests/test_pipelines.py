@@ -235,3 +235,39 @@ def test_hot_bucket_skew_salted(ray_session):
     assert len(cl) == 1500
     assert cl.cluster_id.nunique() == 1
     assert cl.cluster_id.iloc[0] == 0
+
+
+def test_word_ngram_minhash_recall(ray_session, fixture_pages):
+    """Word-3-gram shingle mode: recall >= 0.99 vs brute-force trigram
+    Jaccard oracle on planted pairs."""
+    import re
+
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    pages, expected = fixture_pages
+    texts = pages.column("text").to_pylist()
+
+    def trigrams(s):
+        toks = re.findall(r"[a-z0-9]+", s.lower())
+        return set(tuple(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0)))
+
+    cache = {}
+
+    def tg(i):
+        if i not in cache:
+            cache[i] = trigrams(texts[i])
+        return cache[i]
+
+    pairs = list(zip(expected.column("id_a").to_pylist(), expected.column("id_b").to_pylist()))
+    qual = [
+        (a, b) for a, b in pairs
+        if len(tg(a) & tg(b)) / max(1, len(tg(a) | tg(b))) >= 0.5
+    ]
+    assert len(qual) >= 40
+    cl = near_dup_clusters(
+        _ds(pages), num_perm=192, bands=64, id_col="page_id", text_col="text",
+        shingle="word3",
+    )
+    comp = dict(zip(cl.column("page_id").to_pylist(), cl.column("cluster_id").to_pylist()))
+    hits = sum(1 for a, b in qual if comp.get(a, a) == comp.get(b, b))
+    assert hits / len(qual) >= 0.99
