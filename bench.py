@@ -24,7 +24,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-CORPUS_DOCS = int(os.environ.get("BENCH_DOCS", "128"))
+CORPUS_DOCS = int(os.environ.get("BENCH_DOCS", "256"))
 DOC_BYTES = int(os.environ.get("BENCH_DOC_BYTES", str(4 * 1024 * 1024)))
 
 

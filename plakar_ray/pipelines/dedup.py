@@ -113,6 +113,7 @@ def near_dup_pairs(
     salt_buckets: int | None = None,
     concurrency=None,
     shingle: str = "cdc",
+    local_threshold: int = 20_000,
 ):
     """documents -> candidate near-dup edge Dataset (id_a, id_b)."""
     sigs = minhash_signatures(
@@ -120,7 +121,8 @@ def near_dup_pairs(
         id_col=id_col, text_col=text_col, concurrency=concurrency, shingle=shingle,
     )
     return candidate_pairs(
-        sigs, bands=bands, id_col=id_col, salt_buckets=salt_buckets
+        sigs, bands=bands, id_col=id_col, salt_buckets=salt_buckets,
+        local_threshold=local_threshold,
     )
 
 
@@ -136,6 +138,7 @@ def near_dup_clusters(
     salt_buckets: int | None = None,
     concurrency=None,
     shingle: str = "cdc",
+    local_threshold: int = 20_000,
 ) -> pa.Table:
     """Flagship: near-duplicate clusters (id, cluster_id = min member id).
     Union-find runs driver-side over the edge Dataset's batches (edges ~
@@ -144,6 +147,7 @@ def near_dup_clusters(
     edges = near_dup_pairs(
         ds, algo, opts, num_perm, bands, seed, id_col, text_col,
         salt_buckets=salt_buckets, concurrency=concurrency, shingle=shingle,
+        local_threshold=local_threshold,
     )
     comp = connected_components_ds(edges)
     if not comp:

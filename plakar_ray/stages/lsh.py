@@ -120,6 +120,62 @@ def _star_edges(group: pa.Table, id_col: str) -> pa.Table:
     )
 
 
+def _local_candidate_pairs(
+    sig_ds, bands: int, id_col: str, min_shingles: int
+):
+    """Small-table fast path: the signature table fits comfortably on the
+    driver, so bucket grouping is a numpy sort instead of a Ray groupby
+    (which costs seconds of fixed orchestration per execution). Produces the
+    same star edges as the distributed path."""
+    import ray.data
+
+    ids_parts, sig_parts = [], []
+    for b in sig_ds.iter_batches(batch_format="pyarrow"):
+        if "n_shingles" in b.column_names and min_shingles > 0:
+            import pyarrow.compute as pc
+
+            b = b.filter(pc.greater_equal(b.column("n_shingles"), min_shingles))
+        if len(b) == 0:
+            continue
+        ids_parts.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        sig_parts.append(_sig_matrix(b, "sig"))
+    if not ids_parts:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64())})
+        )
+    ids = np.concatenate(ids_parts)
+    sigs = np.vstack(sig_parts)
+    bh = band_hashes(sigs, bands)  # (n, bands); band_id already mixed in
+    flat = bh.reshape(-1)
+    flat_ids = np.repeat(ids, bands)
+    order = np.argsort(flat, kind="stable")
+    fh, fi = flat[order], flat_ids[order]
+    boundary = np.concatenate(([True], fh[1:] != fh[:-1]))
+    group_starts = np.nonzero(boundary)[0]
+    group_ends = np.concatenate((group_starts[1:], [fh.shape[0]]))
+    out_a, out_b = [], []
+    for s, e in zip(group_starts.tolist(), group_ends.tolist()):
+        if e - s < 2:
+            continue
+        members = np.unique(fi[s:e])
+        if members.shape[0] < 2:
+            continue
+        out_a.append(np.full(members.shape[0] - 1, members[0]))
+        out_b.append(members[1:])
+    if not out_a:
+        t = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64())})
+    else:
+        t = pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            }
+        )
+    return ray.data.from_arrow(t)
+
+
 def candidate_pairs(
     sig_ds,
     bands: int,
@@ -127,6 +183,7 @@ def candidate_pairs(
     min_shingles: int = 1,
     salt_buckets: int | None = None,
     checkpoint: bool = True,
+    local_threshold: int = 20_000,
 ):
     """signatures Dataset -> candidate edge Dataset (id_a < id_b, star per
     bucket). One groupby shuffle on (band_id, band_hash[, salt]); with salted
@@ -146,6 +203,10 @@ def candidate_pairs(
         n_part = 16
     if checkpoint:
         sig_ds = sig_ds.materialize()
+        # Small signature tables take the driver-local grouping fast path
+        # (identical star edges; salt is a shuffle-only concern).
+        if local_threshold and sig_ds.count() <= local_threshold:
+            return _local_candidate_pairs(sig_ds, bands, id_col, min_shingles)
     band_rows = sig_ds.map_batches(
         BandStage,
         fn_constructor_kwargs=dict(

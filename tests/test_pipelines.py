@@ -139,13 +139,18 @@ def test_salted_lsh_same_connectivity(ray_session, fixture_pages):
     from plakar_ray.pipelines.dedup import near_dup_clusters
 
     pages, _ = fixture_pages
+    # local_threshold=0 forces the distributed groupby path for all three.
     plain = near_dup_clusters(
         _ds(pages), "fastcdc-v1.0.0", SMALL, num_perm=96, bands=32,
-        id_col="page_id", text_col="text",
+        id_col="page_id", text_col="text", local_threshold=0,
     )
     salted = near_dup_clusters(
         _ds(pages), "fastcdc-v1.0.0", SMALL, num_perm=96, bands=32,
-        id_col="page_id", text_col="text", salt_buckets=4,
+        id_col="page_id", text_col="text", salt_buckets=4, local_threshold=0,
+    )
+    local = near_dup_clusters(
+        _ds(pages), "fastcdc-v1.0.0", SMALL, num_perm=96, bands=32,
+        id_col="page_id", text_col="text",
     )
 
     def canon(t):
@@ -153,6 +158,8 @@ def test_salted_lsh_same_connectivity(ray_session, fixture_pages):
         return comp
 
     assert canon(plain) == canon(salted)
+    # Driver-local fast path must produce identical clusters.
+    assert canon(plain) == canon(local)
 
 
 def test_exact_dedup(ray_session, fixture_pages):
