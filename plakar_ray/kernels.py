@@ -120,80 +120,6 @@ def _gear_f_range(data: np.ndarray, gear: np.ndarray, a: int, b: int) -> np.ndar
     return _gear_window64(gear[data[lo:b]])[a - lo :]
 
 
-_J64 = np.arange(64, dtype=np.int64)
-_J64U = _J64.astype(np.uint64)
-
-
-def _exact_f64_at(data: np.ndarray, gear: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """Exact window-64 hashes at sparse positions: F[p] = Sigma_{j<64}
-    gear[data[p-j]] << j, prefix-truncated (terms with p-j < 0 dropped)."""
-    idx = pos[:, None] - _J64[None, :]
-    if pos.shape[0] and int(pos[0]) >= 63:  # pos sorted ascending: all valid
-        g = np.left_shift(gear[data[idx]], _J64U[None, :])
-    else:
-        valid = idx >= 0
-        g = gear[data[np.maximum(idx, 0)]]
-        g = np.where(valid, np.left_shift(g, _J64U[None, :]), _U64(0))
-    return g.sum(axis=1, dtype=np.uint64)
-
-
-def _gear_window32(h32: np.ndarray) -> np.ndarray:
-    """Low-32-bit window hash: F32[i] == F[i] mod 2^32, because shifts >= 32
-    vanish mod 2^32 — a window-32 doubling scan in uint32 (half the memory
-    traffic of the 64-bit scan)."""
-    f = h32.copy()
-    for k in range(5):
-        s = 1 << k
-        if s >= f.shape[0]:
-            break
-        f[s:] += np.left_shift(f[:-s], np.uint32(s))
-    return f
-
-
-def _gear_candidates_u32(
-    data: np.ndarray, gear: np.ndarray, masks: list[int], test
-) -> tuple[list, list]:
-    """Fast candidate extraction via a uint32 prefilter.
-
-    A position can only satisfy (F & m) == 0 if (F32 & (m & 0xFFFFFFFF)) == 0,
-    where F32 is the cheap low-32-bit rolling hash. Positions passing the
-    union-of-masks prefilter (sparse: the legacy FastCDC/JC masks carry 6-7
-    bits in their low halves) get their exact 64-bit hash recomputed and the
-    real `test` applied. Falls back to the 64-bit scan when any mask has a
-    weak low half (< 4 bits)."""
-    lows = [m & 0xFFFFFFFF for m in masks]
-    if any(bin(lo).count("1") < 4 for lo in lows):
-        return _gear_candidates(data, gear, test)
-    gear32 = (gear & _U64(0xFFFFFFFF)).astype(np.uint32)  # 256 entries, cheap
-    n = data.shape[0]
-    idx_parts: list[np.ndarray] = []
-    f_parts: list[np.ndarray] = []
-    lows32 = [np.uint32(lo) for lo in lows]
-    for start in range(0, n, _TILE):
-        lo_edge = max(0, start - 31)
-        hi = min(n, start + _TILE)
-        f32 = _gear_window32(gear32[data[lo_edge:hi]])[start - lo_edge :]
-        pre = (f32 & lows32[0]) == 0
-        for lw in lows32[1:]:
-            pre |= (f32 & lw) == 0
-        rel = np.nonzero(pre)[0]
-        if rel.shape[0]:
-            pos = rel + start
-            f64 = _exact_f64_at(data, gear, pos)
-            keep = test(f64)
-            if keep.any():
-                idx_parts.append(pos[keep])
-                f_parts.append(f64[keep])
-    if not idx_parts:
-        return [], []
-    return (
-        np.concatenate(idx_parts).tolist(),
-        np.concatenate(f_parts).tolist(),
-    )
-
-
-
-
 def _warm_fps(h_seg: np.ndarray) -> np.ndarray:
     """Exact short-window fingerprints for one scan segment's warm-up: given
     gear values h_seg (length L <= 63) starting at the segment's first scanned
@@ -307,8 +233,6 @@ def boundaries_jc(
     # tried and measured SLOWER here — only ~25% of candidate positions become
     # real segment starts, and this host's memory throughput makes computing
     # 4x the needed warm-ups cost more than the per-segment matrix calls.
-    warm_cache: dict[int, tuple[int, int]] = {}
-
     lengths: list[int] = []
     s = 0
     n_cand = len(cand_pos)
@@ -331,13 +255,7 @@ def boundaries_jc(
             warm_end = min(seg + 63, end)
             event = -1  # absolute position of first maskJ hit
             event_fp = 0
-            cached = warm_cache.get(seg)
-            if cached is not None:
-                d, fp = cached
-                if d >= 0 and seg + d < warm_end:
-                    event = seg + d
-                    event_fp = fp
-            elif warm_end - seg > 0:
+            if warm_end - seg > 0:
                 fps = _warm_fps(gear[data[seg:warm_end]])
                 hits = np.nonzero((fps & mj) == 0)[0]
                 if hits.shape[0]:
@@ -392,7 +310,11 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
     msl = ULTRACDC_MASK_L  # subset of mask_s: superset of candidate positions
     pos_parts: list[np.ndarray] = []
     dist_parts: list[np.ndarray] = []
-    for start in range(8, total - 7, _TILE):
+    # Loop bound must be `total`, not `total - 7`: check positions run through
+    # total-1, and a tile starting inside the final 7 bytes still holds real
+    # positions (n_here clamps the segment). With `total - 7` those positions
+    # were silently dropped whenever (total - 8) % _TILE landed there.
+    for start in range(8, total, _TILE):
         hi = min(total, start + _TILE + 7)  # w8 needs 7 lookahead bytes
         hp = _POPCOUNT_AA_U8[data[start - 8 : hi]].astype(np.int16)
         w2 = hp[:-1] + hp[1:]

@@ -86,3 +86,38 @@ def test_invariants(algo):
 def test_empty_input_no_chunks():
     for algo in ALGOS:
         assert chunk_lengths(algo, b"", None).tolist() == []
+
+
+@pytest.mark.parametrize("spec", [False, True])
+def test_ultracdc_tile_tail_positions(spec):
+    """Regression: candidate positions in the final <=7 bytes of a document.
+
+    The tiled candidate scan in boundaries_ultracdc previously iterated
+    `range(8, total - 7, _TILE)`, never starting a tile whose first position
+    falls inside the last 7 bytes; a first mask hit there (reachable after an
+    unaligned cut, which legacy UltraCDC produces routinely) was dropped,
+    silently merging the oracle's short tail chunk into the previous chunk.
+    Crafted doc: constant Hamming-to-0xAA distance 8 everywhere (no hits, no
+    lag-8 equality runs) except two planted 0xAA windows — one early to force
+    an unaligned first cut, one whose dist ramp puts the first late candidate
+    inside the dropped zone.
+    """
+    from plakar_ray.kernels import _TILE, boundaries_ultracdc
+
+    opts = ChunkerOpts(2048, 1 << 16, 8192)
+    choices = [0xAA ^ (1 << k) for k in range(8)]
+    total = _TILE + 15
+    doc = np.array(
+        [choices[(i % 8 + i // 8) % 8] for i in range(total)], dtype=np.uint8
+    )
+    # early unaligned cut + late tail candidate (legacy cuts at the exact
+    # byte, spec at the window edge, so the dist ramp start that lands the
+    # short tail in the dropped zone differs by variant)
+    late = _TILE + 11 if not spec else _TILE + 8
+    for p0 in (2057, late):
+        doc[p0 - 8 : p0] = 0xAA
+    name = "ultracdc-v1.0.0" if spec else "ultracdc"
+    want = chunk_lengths_oracle(name, bytes(doc), opts)
+    got = boundaries_ultracdc(doc, opts, spec).tolist()
+    assert got == want
+    assert len(want) == 3 and want[-1] <= 7  # the case the old loop merged
