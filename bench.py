@@ -93,13 +93,17 @@ def bench_chunking(corpus, num_cpus: int) -> dict:
 
 
 def bench_minhash(corpus, num_cpus: int) -> dict:
-    """Fused chunk->digest->MinHash signature + LSH banding throughput."""
+    """Fused chunk->digest->MinHash signature + LSH banding throughput.
+
+    local_threshold=0 forces the DISTRIBUTED hash-partition exchange even on
+    the small bench corpus — the scaling row must measure the path that runs
+    at 100 TB, not the driver-local fast path."""
     from plakar_ray.pipelines.dedup import near_dup_pairs
 
     t0 = time.time()
     edges = near_dup_pairs(
         corpus, "fastcdc", None, num_perm=128, bands=32,
-        concurrency=(1, num_cpus),
+        concurrency=(1, num_cpus), local_threshold=0,
     )
     n_edges = edges.count()
     wall = time.time() - t0

@@ -178,12 +178,14 @@ def q_doc_quality(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.text import doc_quality
 
     out = doc_quality(_docs(sf_dir, ["doc_id", "text"])).to_pandas().sort_values("doc_id")
+    # Fixed-point score (engine-portable): floor(q * 1e6 + 0.5).
+    e6 = np.floor(out["quality"].to_numpy() * 1e6 + 0.5).astype(np.int64)
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"], type=pa.int64()),
             "n_chars": pa.array(out["n_chars"], type=pa.int64()),
             "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
-            "quality": pa.array(out["quality"], type=pa.float64()),
+            "quality_e6": pa.array(e6, type=pa.int64()),
         }
     )
 
@@ -445,16 +447,28 @@ def q_pages_extract_digests(sf_dir: str) -> pa.Table:
 
 
 def q_unique_chunk_store(sf_dir: str) -> pa.Table:
-    """Content-addressed store build (unique-by-digest sink) summary."""
+    """Content-addressed store build (unique-by-digest sink) summary.
+
+    Uses the fixed chunker so the digest-dedup accounting is SQL-expressible
+    (substr + md5 + GROUP BY in DuckDB); the CDC-chunked store is exercised
+    byte-exactly by tests/test_store.py."""
     import tempfile
 
     from plakar_ray.pipelines.store import write_unique_chunks
 
     with tempfile.TemporaryDirectory(prefix="plakar_store_") as out:
         s = write_unique_chunks(
-            _docs(sf_dir, ["doc_id", "text"]), out, "fastcdc-v1.0.0", SMALL
+            _docs(sf_dir, ["doc_id", "text"]), out, "fixed-v1.0.0",
+            ChunkerOpts(normal_size=FIXED_SIZE),
         )
-    return pa.table({k: [v] for k, v in s.items()})
+    return pa.table(
+        {
+            "total_chunks": pa.array([s["total_chunks"]], type=pa.int64()),
+            "unique_chunks": pa.array([s["unique_chunks"]], type=pa.int64()),
+            "total_bytes": pa.array([s["total_bytes"]], type=pa.int64()),
+            "unique_bytes": pa.array([s["unique_bytes"]], type=pa.int64()),
+        }
+    )
 
 
 def q_orders_by_region(sf_dir: str) -> pa.Table:
@@ -566,6 +580,58 @@ def q_length_histogram(sf_dir: str) -> pa.Table:
                             n_buckets=32)
 
 
+HIST_FIXED_BUCKETS = 32
+
+
+def q_length_histogram_fixed(sf_dir: str) -> pa.Table:
+    """Chunk-size histogram over the fixed chunker — the SQL-checkable twin
+    of q_length_histogram (CDF fixed-pointed to e6)."""
+    from plakar_ray.pipelines.sweeps import length_histogram
+
+    t = length_histogram(
+        _docs(sf_dir, ["doc_id", "text"]), "fixed-v1.0.0",
+        ChunkerOpts(normal_size=FIXED_SIZE), n_buckets=HIST_FIXED_BUCKETS,
+    )
+    cdf = t.column("cdf").to_numpy(zero_copy_only=False)
+    e6 = np.floor(cdf * 1e6 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "bucket_lo": t.column("bucket_lo"),
+            "bucket_hi": t.column("bucket_hi"),
+            "count": t.column("count"),
+            "cdf_e6": pa.array(e6, type=pa.int64()),
+        }
+    )
+
+
+DEDUP_SWEEP_FIXED_SIZES = [128, 256, 512]
+
+
+def q_dedup_ratio_sweep_fixed(sf_dir: str) -> pa.Table:
+    """Dedup-ratio vs chunk size over the fixed chunker — SQL-checkable twin
+    of q_dedup_ratio_sweep (ratio fixed-pointed to e6)."""
+    from plakar_ray.pipelines.analyze import measure
+
+    rows = []
+    for size in DEDUP_SWEEP_FIXED_SIZES:
+        m = measure(
+            _docs(sf_dir, ["doc_id", "text"]), "fixed-v1.0.0",
+            ChunkerOpts(normal_size=size),
+        )
+        rows.append(
+            (size, m["chunks"],
+             int(np.floor(m["dedup_ratio"] * 1e6 + 0.5)), m["len_avg"])
+        )
+    return pa.table(
+        {
+            "chunk_size": pa.array([r[0] for r in rows], type=pa.int64()),
+            "chunks": pa.array([r[1] for r in rows], type=pa.int64()),
+            "dedup_ratio_e6": pa.array([r[2] for r in rows], type=pa.int64()),
+            "mean_len": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def queries():
     return {
         "chunk_explode_fixed": q_chunk_explode_fixed,
@@ -595,8 +661,10 @@ def queries():
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "dedup_ratio_sweep": q_dedup_ratio_sweep,
+        "dedup_ratio_sweep_fixed": q_dedup_ratio_sweep_fixed,
         "resync_sweep": q_resync_sweep,
         "length_histogram": q_length_histogram,
+        "length_histogram_fixed": q_length_histogram_fixed,
         "pages_extract_digests": q_pages_extract_digests,
         "unique_chunk_store": q_unique_chunk_store,
         "orders_by_region": q_orders_by_region,
@@ -811,6 +879,85 @@ def oracle_sql():
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_DUP_THRESHOLD}
             ORDER BY id_a, id_b
         """,
+        "doc_quality": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_extract_all(text, '{_TOKEN_SQL}'))::BIGINT AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha
+              FROM documents
+            ), q AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     least(n_chars / 1000.0, 1.0) AS ls,
+                     CASE WHEN n_chars > 0 THEN n_alpha / greatest(n_chars, 1)::DOUBLE ELSE 0.0 END AS a_s,
+                     least((CASE WHEN n_tokens > 0 THEN n_alpha / greatest(n_tokens, 1)::DOUBLE ELSE 0.0 END) / 8.0, 1.0) AS ts
+              FROM s
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   floor(((ls + a_s + ts) / 3.0) * 1000000.0 + 0.5)::BIGINT AS quality_e6
+            FROM q ORDER BY doc_id
+        """,
+        "unique_chunk_store": f"""
+            WITH e AS (
+              SELECT md5(substr(d.text, (g.i * {FIXED_SIZE})::BIGINT + 1, {FIXED_SIZE}::BIGINT)) AS h,
+                     least({FIXED_SIZE}, octet_length(d.text::BLOB) - g.i * {FIXED_SIZE})::BIGINT AS len
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) > 0
+            ), u AS (
+              SELECT h, min(len) AS len FROM e GROUP BY h
+            )
+            SELECT (SELECT count(*) FROM e)::BIGINT AS total_chunks,
+                   (SELECT count(*) FROM u)::BIGINT AS unique_chunks,
+                   (SELECT sum(len) FROM e)::BIGINT AS total_bytes,
+                   (SELECT sum(len) FROM u)::BIGINT AS unique_bytes
+        """,
+        "length_histogram_fixed": f"""
+            WITH e AS (
+              SELECT least({FIXED_SIZE}, octet_length(d.text::BLOB) - g.i * {FIXED_SIZE})::BIGINT AS len
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) > 0
+            ), h AS (
+              SELECT least(len // {FIXED_SIZE // HIST_FIXED_BUCKETS}, {HIST_FIXED_BUCKETS - 1}) AS bucket,
+                     count(*)::BIGINT AS c
+              FROM e GROUP BY 1
+            ), buckets AS (
+              SELECT unnest(range({HIST_FIXED_BUCKETS})) AS bucket
+            ), j AS (
+              SELECT buckets.bucket, COALESCE(h.c, 0)::BIGINT AS c
+              FROM buckets LEFT JOIN h USING (bucket)
+            )
+            SELECT (bucket * {FIXED_SIZE // HIST_FIXED_BUCKETS})::BIGINT AS bucket_lo,
+                   ((bucket + 1) * {FIXED_SIZE // HIST_FIXED_BUCKETS})::BIGINT AS bucket_hi,
+                   c AS count,
+                   floor((sum(c) OVER (ORDER BY bucket) / (SELECT count(*) FROM e)::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS cdf_e6
+            FROM j ORDER BY bucket
+        """,
+        "dedup_ratio_sweep_fixed": "\nUNION ALL\n".join(
+            f"""
+            (WITH e AS (
+              SELECT md5(substr(d.text, (g.i * {size})::BIGINT + 1, {size}::BIGINT)) AS h,
+                     least({size}, octet_length(d.text::BLOB) - g.i * {size})::BIGINT AS len
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {size}.0) AS BIGINT))) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) > 0
+            ), u AS (
+              SELECT h, min(len) AS len FROM e GROUP BY h
+            )
+            SELECT {size}::BIGINT AS chunk_size,
+                   (SELECT count(*) FROM e)::BIGINT AS chunks,
+                   floor(((SELECT sum(len) FROM u) / (SELECT sum(len) FROM e)::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS dedup_ratio_e6,
+                   floor((SELECT sum(len) FROM e)::DOUBLE / (SELECT count(*) FROM e))::BIGINT AS mean_len)
+            """
+            for size in DEDUP_SWEEP_FIXED_SIZES
+        ),
     }
 
 

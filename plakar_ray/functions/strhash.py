@@ -1,0 +1,89 @@
+"""Vectorized string hashing over Arrow token lists.
+
+FNV-1a is sequential over a string's bytes, but independent across strings:
+iterating over byte POSITIONS (bounded by the longest token) with one
+vector gather + xor/mul per position hashes every token of a batch in
+O(max_len) numpy passes instead of a per-byte Python loop. Produces
+bit-identical values to the scalar FNV-1a loops it replaces
+(stages/simhash.py, stages/minhash.py word-3-gram shingles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+_FNV_OFF = _U64(0xCBF29CE484222325)
+_FNV_PRIME = _U64(0x100000001B3)
+
+
+def splitmix64(z: np.ndarray) -> np.ndarray:
+    z = z + _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def fnv1a64_slices(starts: np.ndarray, ends: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 of data[starts[i]:ends[i]] for every i, vectorized across
+    slices. `data` is a uint8 array; returns uint64 hashes."""
+    n = starts.shape[0]
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
+    if n == 0:
+        return h
+    lens = ends - starts
+    max_len = int(lens.max())
+    # Process longest-first so the active set is a shrinking prefix: one
+    # argsort buys O(1) "which strings still have bytes" per position.
+    order = np.argsort(-lens, kind="stable")
+    s_sorted = starts[order].astype(np.int64)
+    l_sorted = lens[order]
+    h_sorted = h[order]
+    # alive count at byte position j = number of strings with len > j
+    alive_at = np.searchsorted(-l_sorted, -np.arange(1, max_len + 1), side="right")
+    for j in range(max_len):
+        k = alive_at[j]
+        if k == 0:
+            break
+        b = data[s_sorted[:k] + j].astype(np.uint64)
+        h_sorted[:k] = (h_sorted[:k] ^ b) * _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h_sorted
+    return out
+
+
+def arrow_token_lists(lists) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decompose a list<string> array into (tok_starts, tok_ends, data,
+    doc_offsets) numpy views — zero-copy into the Arrow buffers."""
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    doc_off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    bufs = flat.buffers()
+    off_buf = np.frombuffer(bufs[1], dtype=np.int32)
+    tok_off = off_buf[flat.offset : flat.offset + len(flat) + 1].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    # doc_off indexes into the flat token array; normalize to 0-based
+    doc_off = doc_off - doc_off[0]
+    return tok_off[:-1], tok_off[1:], data, doc_off
+
+
+def reduceat_fixed(values: np.ndarray, offsets: np.ndarray, op=np.add) -> np.ndarray:
+    """Segmented reduction with correct empty-segment semantics: segment i is
+    values[offsets[i]:offsets[i+1]]; empty segments yield op's identity (0
+    for add) instead of numpy's reduceat quirk (element at the index)."""
+    starts = offsets[:-1]
+    sizes = np.diff(offsets)
+    n_seg = starts.shape[0]
+    if values.shape[0] == 0:
+        shape = (n_seg,) + values.shape[1:]
+        return np.zeros(shape, dtype=values.dtype)
+    safe = np.minimum(starts, values.shape[0] - 1)
+    out = op.reduceat(values, safe, axis=0)
+    out[sizes == 0] = 0
+    return out

@@ -63,49 +63,85 @@ def write_unique_chunks(
     Returns summary counts."""
     import os
 
-    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+    from ray.data.context import ShuffleStrategy
+
+    from plakar_ray.stages.chunk import default_pool_size
 
     chunks = ds.map_batches(
         _ChunkWithBytes,
         fn_constructor_kwargs=dict(algo=algo, opts=opts, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool_size(),
     ).materialize()
+
+    totals = chunks.aggregate(Count(), Sum("length"))
+    total_chunks = int(totals["count()"])
+    total_bytes = int(totals["sum(length)"] or 0)
 
     # Recipes: the per-document chunk sequence (no payloads).
     recipes = chunks.select_columns([id_col, "chunk_idx", "offset", "length", "digest"])
     os.makedirs(os.path.join(out_dir, "recipes"), exist_ok=True)
     recipes.write_parquet(os.path.join(out_dir, "recipes"))
 
-    def first_per_digest(group: pa.Table) -> pa.Table:
-        return group.select(["digest", "length", "payload"]).slice(0, 1)
+    # Dedup by digest: hash-partition exchange (buckets co-located per
+    # partition, no global sort), then a vectorized first-per-digest inside
+    # each partition block.
+    chunks.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        import ray
 
-    uniq = chunks.groupby("digest").map_groups(first_per_digest, batch_format="pyarrow")
+        n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    except Exception:
+        n_part = 8
+    parts = chunks.select_columns(["digest", "length", "payload"]).repartition(
+        n_part, keys=["digest"], sort=False
+    )
 
-    n_buckets = 1 << prefix_bits
-
-    def bucket_of(batch: pa.Table) -> pa.Table:
-        digs = batch.column("digest").to_pylist()
-        buckets = [d[0] >> (8 - prefix_bits) for d in digs]
-        return batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
-
-    bucketed = uniq.map_batches(bucket_of, batch_format="pyarrow").materialize()
-    total_unique = 0
-    for b in range(n_buckets):
-        part = bucketed.filter(expr=f"bucket == {b}")
-        tbl = pa.concat_tables(
-            list(part.iter_batches(batch_format="pyarrow"))
-            or [pa.table({"digest": pa.array([], type=pa.binary(32)),
-                          "length": pa.array([], type=pa.int32()),
-                          "payload": pa.array([], type=pa.binary()),
-                          "bucket": pa.array([], type=pa.int32())})]
+    def first_per_digest_block(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("digest").aggregate(
+            [("length", "first"), ("payload", "first")]
         )
-        d = os.path.join(out_dir, "store", f"bucket={b:02d}")
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(tbl.drop_columns(["bucket"]), os.path.join(d, "data.parquet"))
-        total_unique += tbl.num_rows
-    return {"unique_chunks": total_unique, "buckets": n_buckets}
+        digs = g.column("digest")
+        if isinstance(digs, pa.ChunkedArray):
+            digs = digs.combine_chunks()
+        if len(g):
+            w = digs.type.byte_width
+            raw = np.frombuffer(digs.buffers()[1], dtype=np.uint8)
+            first = raw[digs.offset * w : (digs.offset + len(digs)) * w : w]
+        else:
+            first = np.empty(0, dtype=np.uint8)
+        buckets = (first >> (8 - prefix_bits)).astype(np.int32)
+        return pa.table(
+            {
+                "digest": digs,
+                "length": g.column("length_first"),
+                "payload": g.column("payload_first"),
+                "bucket": pa.array(buckets, type=pa.int32()),
+            }
+        )
+
+    uniq = parts.map_batches(
+        first_per_digest_block,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # Partitioned sink: one hive directory per digest-prefix bucket, written
+    # by Ray's parallel writer — never concatenated on the driver.
+    uniq.write_parquet(os.path.join(out_dir, "store"), partition_cols=["bucket"])
+
+    u = uniq.aggregate(Count(), Sum("length"))
+    n_buckets = 1 << prefix_bits
+    return {
+        "total_chunks": total_chunks,
+        "unique_chunks": int(u["count()"]),
+        "total_bytes": total_bytes,
+        "unique_bytes": int(u["sum(length)"] or 0),
+        "buckets": n_buckets,
+    }
 
 
 def restore_document(out_dir: str, doc_id: int, id_col: str = "doc_id") -> bytes:
@@ -116,7 +152,7 @@ def restore_document(out_dir: str, doc_id: int, id_col: str = "doc_id") -> bytes
 
     recipes = pads.dataset(glob.glob(f"{out_dir}/recipes/*.parquet"))
     rec = recipes.to_table(filter=pads.field(id_col) == doc_id).sort_by("chunk_idx")
-    store = pads.dataset(glob.glob(f"{out_dir}/store/bucket=*/data.parquet"))
+    store = pads.dataset(glob.glob(f"{out_dir}/store/bucket=*/*.parquet"))
     digests = rec.column("digest").to_pylist()
     need = set(digests)
     payloads: dict[bytes, bytes] = {}

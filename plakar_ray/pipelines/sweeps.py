@@ -95,6 +95,8 @@ def length_histogram(ds, algo: str, opts: ChunkerOpts | None = None,
             "bucket_lo": pa.array(np.arange(n_buckets) * width, type=pa.int64()),
             "bucket_hi": pa.array((np.arange(n_buckets) + 1) * width, type=pa.int64()),
             "count": pa.array(hist, type=pa.int64()),
-            "cdf": pa.array(np.round(cdf, 6), type=pa.float64()),
+            # raw float64 (consumers fixed-point with floor(cdf*1e6+0.5) for
+            # engine-portable comparison)
+            "cdf": pa.array(cdf, type=pa.float64()),
         }
     )

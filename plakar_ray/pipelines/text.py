@@ -39,12 +39,14 @@ def doc_lang_id(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def doc_fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
+    from plakar_ray.stages.chunk import default_pool_size
+
     return ds.map_batches(
         FingerprintStage,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool_size(),
     )
 
 

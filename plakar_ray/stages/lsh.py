@@ -103,30 +103,115 @@ class BandStage:
         return pa.table(cols)
 
 
-def _star_edges(group: pa.Table, id_col: str) -> pa.Table:
-    """Bucket members -> star edges to the bucket minimum (linear, not
-    quadratic; connectivity-equivalent to the clique for clustering)."""
-    ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-    if ids.shape[0] < 2:
-        return pa.table(
-            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-        )
-    hub = ids[0]
+def _star_edges_vec(
+    key_cols: tuple[np.ndarray, ...], ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Vectorized grouped star edges: group rows by the composite key, dedupe
+    member ids within each group, and emit (hub=min id) -> member edges.
+
+    Returns (id_a, id_b, hubs, group_key_cols) where hubs/group_key_cols have
+    one entry per group (of any size, including singletons) — callers that
+    need per-group hub rows (salted reconnect) use them. Linear in rows, no
+    per-group Python work beyond numpy slicing.
+    """
+    n = ids.shape[0]
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, [k[:0] for k in key_cols]
+    order = np.lexsort((ids,) + tuple(key_cols))
+    sid = ids[order]
+    sk = [k[order] for k in key_cols]
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    if n > 1:
+        acc = np.zeros(n - 1, dtype=bool)
+        for k in sk:
+            acc |= k[1:] != k[:-1]
+        newg[1:] = acc
+        # drop duplicate (group, id) rows — ids are sorted within each group
+        dup = np.zeros(n, dtype=bool)
+        dup[1:] = ~newg[1:] & (sid[1:] == sid[:-1])
+        if dup.any():
+            keep = ~dup
+            sid = sid[keep]
+            newg = newg[keep]
+            sk = [k[keep] for k in sk]
+    m = sid.shape[0]
+    gstart = np.nonzero(newg)[0]
+    gsize = np.diff(np.append(gstart, m))
+    hubs = sid[gstart]
+    id_a = np.repeat(hubs, gsize - 1)
+    mask = np.ones(m, dtype=bool)
+    mask[gstart] = False
+    id_b = sid[mask]
+    return id_a, id_b, hubs, [k[gstart] for k in sk]
+
+
+def _empty_edges() -> pa.Table:
     return pa.table(
-        {
-            "id_a": pa.array(np.full(ids.shape[0] - 1, hub), type=pa.int64()),
-            "id_b": pa.array(ids[1:], type=pa.int64()),
-        }
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
     )
+
+
+class BucketStarEdges:
+    """Per-hash-partition bucket grouping: after a keyed repartition on
+    (band_id, band_hash[, salt]) every bucket lives wholly inside one block,
+    so star edges come from one vectorized lexsort over the block — no global
+    sort, no per-group UDF calls. With emit_hubs, each group additionally
+    yields one hub row (kind=1) carrying (band_id, band_hash, hub) for the
+    salted level-2 reconnect."""
+
+    def __init__(self, id_col: str, with_salt: bool, emit_hubs: bool):
+        self.id_col = id_col
+        self.with_salt = with_salt
+        self.emit_hubs = emit_hubs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idv = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        bid = batch.column("band_id").to_numpy(zero_copy_only=False)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        keys = (bid, bh)
+        if self.with_salt:
+            keys = keys + (batch.column("salt").to_numpy(zero_copy_only=False),)
+        id_a, id_b, hubs, gkeys = _star_edges_vec(keys, idv)
+        if not self.emit_hubs:
+            return pa.table(
+                {
+                    "id_a": pa.array(id_a, type=pa.int64()),
+                    "id_b": pa.array(id_b, type=pa.int64()),
+                }
+            )
+        n_e, n_h = id_a.shape[0], hubs.shape[0]
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate((id_a, hubs)), type=pa.int64()),
+                "id_b": pa.array(np.concatenate((id_b, hubs)), type=pa.int64()),
+                "band_id": pa.array(
+                    np.concatenate((np.zeros(n_e, dtype=np.int32), gkeys[0])),
+                    type=pa.int32(),
+                ),
+                "band_hash": pa.array(
+                    np.concatenate((np.zeros(n_e, dtype=np.uint64), gkeys[1])),
+                    type=pa.uint64(),
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        (np.zeros(n_e, dtype=np.int8), np.ones(n_h, dtype=np.int8))
+                    ),
+                    type=pa.int8(),
+                ),
+            }
+        )
 
 
 def _local_candidate_pairs(
     sig_ds, bands: int, id_col: str, min_shingles: int
 ):
     """Small-table fast path: the signature table fits comfortably on the
-    driver, so bucket grouping is a numpy sort instead of a Ray groupby
-    (which costs seconds of fixed orchestration per execution). Produces the
-    same star edges as the distributed path."""
+    driver, so bucket grouping is a numpy sort instead of a Ray shuffle
+    (which costs seconds of fixed orchestration per execution). Groups on
+    (band_id, band_hash) exactly like the distributed path, so the two paths
+    are result-identical."""
     import ray.data
 
     ids_parts, sig_parts = [], []
@@ -140,40 +225,22 @@ def _local_candidate_pairs(
         ids_parts.append(b.column(id_col).to_numpy(zero_copy_only=False))
         sig_parts.append(_sig_matrix(b, "sig"))
     if not ids_parts:
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], type=pa.int64()),
-                      "id_b": pa.array([], type=pa.int64())})
-        )
+        return ray.data.from_arrow(_empty_edges())
     ids = np.concatenate(ids_parts)
     sigs = np.vstack(sig_parts)
-    bh = band_hashes(sigs, bands)  # (n, bands); band_id already mixed in
-    flat = bh.reshape(-1)
-    flat_ids = np.repeat(ids, bands)
-    order = np.argsort(flat, kind="stable")
-    fh, fi = flat[order], flat_ids[order]
-    boundary = np.concatenate(([True], fh[1:] != fh[:-1]))
-    group_starts = np.nonzero(boundary)[0]
-    group_ends = np.concatenate((group_starts[1:], [fh.shape[0]]))
-    out_a, out_b = [], []
-    for s, e in zip(group_starts.tolist(), group_ends.tolist()):
-        if e - s < 2:
-            continue
-        members = np.unique(fi[s:e])
-        if members.shape[0] < 2:
-            continue
-        out_a.append(np.full(members.shape[0] - 1, members[0]))
-        out_b.append(members[1:])
-    if not out_a:
-        t = pa.table({"id_a": pa.array([], type=pa.int64()),
-                      "id_b": pa.array([], type=pa.int64())})
-    else:
-        t = pa.table(
+    bh = band_hashes(sigs, bands)  # (n, bands)
+    band_idx = np.tile(np.arange(bands, dtype=np.int32), ids.shape[0])
+    id_a, id_b, _, _ = _star_edges_vec(
+        (band_idx, bh.reshape(-1)), np.repeat(ids, bands)
+    )
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "id_a": pa.array(id_a, type=pa.int64()),
+                "id_b": pa.array(id_b, type=pa.int64()),
             }
         )
-    return ray.data.from_arrow(t)
+    )
 
 
 def candidate_pairs(
@@ -185,69 +252,87 @@ def candidate_pairs(
     checkpoint: bool = True,
     local_threshold: int = 20_000,
 ):
-    """signatures Dataset -> candidate edge Dataset (id_a < id_b, star per
-    bucket). One groupby shuffle on (band_id, band_hash[, salt]); with salted
-    keys, a second tiny shuffle over sub-bucket hubs restores connectivity.
+    """signatures Dataset -> candidate edge Dataset (star per bucket).
 
-    checkpoint=True materializes the signatures first: Ray's sort-based
-    groupby executes its input more than once (boundary sampling + shuffle),
-    which would re-run the expensive chunk+signature stage; the signature
-    table (~1.5 KB/doc) is also the natural lineage/resume boundary.
-    (Fusing the materialize with a repartition was measured ~2x slower than
-    materialize + band-row coalescing, so they stay separate.)"""
-    try:
-        import ray
+    The wide step is a HASH-PARTITION exchange, not a sort: band rows are
+    `repartition(n_part, keys=[band_id, band_hash(, salt)])` under Ray's
+    HASH_SHUFFLE strategy (scoped to this dataset chain via its captured
+    DataContext — the global context is untouched), which routes each bucket
+    wholly to one partition without boundary sampling or a global sort. Each
+    partition then produces its star edges with one vectorized lexsort
+    (BucketStarEdges). With salted keys a second, tiny exchange over the
+    per-sub-bucket hubs restores connectivity.
 
-        n_part = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        n_part = 16
+    checkpoint=True materializes the signatures first: the shuffle input is
+    consumed by an all-to-all exchange and re-execution would re-run the
+    expensive chunk+signature stage; the signature table (~1.5 KB/doc) is
+    also the natural lineage/resume boundary."""
+    import os
+
+    from ray.data.context import ShuffleStrategy
+
+    n_part = int(os.environ.get("PLAKAR_LSH_PARTITIONS", "0"))
+    if n_part <= 0:
+        # Partition-count fixed cost is real (~50-70 ms per partition of
+        # aggregator/finalization overhead measured on this host), so local
+        # runs keep partitions modest; a multi-node deployment should set
+        # PLAKAR_LSH_PARTITIONS to ~2x total cluster cores so every node
+        # holds a few partitions and no partition exceeds worker memory.
+        try:
+            import ray
+
+            n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        except Exception:
+            n_part = 8
     if checkpoint:
         sig_ds = sig_ds.materialize()
         # Small signature tables take the driver-local grouping fast path
         # (identical star edges; salt is a shuffle-only concern).
         if local_threshold and sig_ds.count() <= local_threshold:
             return _local_candidate_pairs(sig_ds, bands, id_col, min_shingles)
+    # Stateless task-pool stages: Band explode and per-partition grouping
+    # hold no state worth an actor pool, and task pools skip the actor
+    # startup cost that dominated the exchange tail (measured 11.9 -> 7.5 s).
     band_rows = sig_ds.map_batches(
-        BandStage,
-        fn_constructor_kwargs=dict(
+        BandStage(
             bands=bands, id_col=id_col, min_shingles=min_shingles,
             salt_buckets=salt_buckets,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
-    # Coalesce before the shuffle: band rows inherit the (often per-document)
-    # input block structure, and a sort-based groupby over B blocks exchanges
-    # O(B^2) objects. A handful of blocks per CPU keeps the all-to-all dense.
-    try:
-        well_blocked = sig_ds.num_blocks() <= 4 * n_part
-    except Exception:
-        well_blocked = False
-    if not well_blocked:
-        band_rows = band_rows.repartition(n_part)
+    # Scope the hash-shuffle strategy to this chain's captured DataContext.
+    band_rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     keys = ["band_id", "band_hash"] + (["salt"] if salt_buckets else [])
-    edges = band_rows.groupby(keys).map_groups(
-        lambda g: _star_edges(g, id_col), batch_format="pyarrow"
+    parts = band_rows.repartition(n_part, keys=keys, sort=False)
+    star = parts.map_batches(
+        BucketStarEdges(
+            id_col=id_col, with_salt=bool(salt_buckets),
+            emit_hubs=bool(salt_buckets),
+        ),
+        batch_size=None,  # batch == block == one complete hash partition
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     if not salt_buckets:
-        return edges
+        return star
     # Level 2: reconnect the K sub-buckets of each (band_id, band_hash) by
-    # resending only each sub-bucket's hub (min id).
-    hubs = band_rows.groupby(keys).map_groups(
-        lambda g: pa.table(
-            {
-                "band_id": g.column("band_id")[:1],
-                "band_hash": g.column("band_hash")[:1],
-                id_col: pa.array(
-                    [int(g.column(id_col).to_numpy(zero_copy_only=False).min())],
-                    type=pa.int64(),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
+    # re-exchanging only each sub-bucket's hub (min id). The star output is
+    # edge-scale (<< corpus), so materializing it to split edges/hubs is
+    # cheap and avoids re-running the exchange twice.
+    star = star.materialize()
+    star.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    edges = star.filter(expr="kind == 0").select_columns(["id_a", "id_b"])
+    hubs = star.filter(expr="kind == 1").select_columns(
+        ["band_id", "band_hash", "id_a"]
+    ).rename_columns({"id_a": id_col})
+    hub_parts = hubs.repartition(
+        max(4, n_part // 4), keys=["band_id", "band_hash"], sort=False
     )
-    hub_edges = hubs.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _star_edges(g, id_col), batch_format="pyarrow"
+    hub_edges = hub_parts.map_batches(
+        BucketStarEdges(id_col=id_col, with_salt=False, emit_hubs=False),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     return edges.union(hub_edges)

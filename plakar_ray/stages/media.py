@@ -159,9 +159,13 @@ class FrameSampleStage:
         )
 
 
-def decode_images(ds, concurrency=(1, 4), batch_size: int = 16, strict: bool = False):
-    """Actor-pool decode: media payloads are heavy, so batches stay small and
-    the pool is bounded; columns are pruned to id+payload upstream."""
+def decode_images(ds, concurrency=None, batch_size: int = 16, strict: bool = False):
+    """Actor-pool decode: media payloads are heavy, so batches stay small;
+    columns are pruned to id+payload upstream."""
+    if concurrency is None:
+        from plakar_ray.stages.chunk import default_pool_size
+
+        concurrency = default_pool_size()
     return ds.map_batches(
         DecodeImageStage,
         fn_constructor_kwargs=dict(strict=strict),

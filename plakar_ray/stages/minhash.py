@@ -106,18 +106,104 @@ class MinHashStage:
             out[j] = int.from_bytes(hashlib.sha256(mv[s0:e0]).digest()[:8], "little")
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        data, offsets = byte_views(batch.column(self.text_col))
+    def _word3_batch(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized word-3-gram shingles + signatures for a whole batch.
+
+        Tokens are re-joined into one '\\x1f'-separated byte stream per batch
+        (doc-ordered), so every 3-gram is a CONTIGUOUS slice of that stream;
+        slice hashes come from the positional FNV scan
+        (functions/strhash.fnv1a64_slices) and per-doc signature minima from
+        one segmented reduction. Bit-identical to the scalar _word3_shingles
+        path (same bytes, same FNV/splitmix, same '\\x00' padding for 1-2
+        token documents)."""
+        import pyarrow.compute as pc
+
+        from plakar_ray.functions.strhash import (
+            arrow_token_lists,
+            fnv1a64_slices,
+            splitmix64,
+        )
+
         n = len(batch)
+        lower = pc.utf8_lower(batch.column(self.text_col))
+        lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        starts, ends, data, doc_off = arrow_token_lists(lists)
+        lens = ends - starts
+        keep = lens > 0
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(doc_off))
+        kept_doc = doc_idx[keep]
+        kcnt = np.bincount(kept_doc, minlength=n).astype(np.int64)
+        # pad 1-2 token docs to exactly 3 tokens with single '\x00' bytes
+        pad_docs = np.nonzero((kcnt >= 1) & (kcnt < 3))[0]
+        pad_counts = 3 - kcnt[pad_docs]
+        pad_doc_idx = np.repeat(pad_docs, pad_counts)
+        all_doc = np.concatenate([kept_doc, pad_doc_idx])
+        all_len = np.concatenate(
+            [lens[keep], np.ones(pad_doc_idx.shape[0], dtype=np.int64)]
+        )
+        all_src = np.concatenate(
+            [starts[keep], np.full(pad_doc_idx.shape[0], -1, dtype=np.int64)]
+        )
+        order = np.argsort(all_doc, kind="stable")  # kept tokens stay first
+        all_doc, all_len, all_src = all_doc[order], all_len[order], all_src[order]
+        t = all_doc.shape[0]
+        sigs = np.full((n, self.num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        n_shingles = np.zeros(n, dtype=np.int32)
+        if t == 0:
+            return sigs, n_shingles
+        # joined stream: token bytes followed by one separator each
+        dst_sizes = all_len + 1
+        dst_starts = np.cumsum(dst_sizes) - dst_sizes
+        out = np.full(int(dst_sizes.sum()), 0x1F, dtype=np.uint8)
+        total_tok_bytes = int(all_len.sum())
+        cum = np.cumsum(all_len) - all_len
+        off_in_tok = np.arange(total_tok_bytes) - np.repeat(cum, all_len)
+        dst_idx = np.repeat(dst_starts, all_len) + off_in_tok
+        src_idx = np.repeat(all_src, all_len) + off_in_tok
+        pad_b = np.repeat(all_src < 0, all_len)
+        out[dst_idx[~pad_b]] = data[src_idx[~pad_b]]
+        out[dst_idx[pad_b]] = 0
+        # 3-gram slices: tokens i, i+1, i+2 of the same doc
+        valid = all_doc[:-2] == all_doc[2:] if t >= 3 else np.zeros(0, dtype=bool)
+        gi = np.nonzero(valid)[0]
+        if gi.shape[0] == 0:
+            return sigs, n_shingles
+        g_start = dst_starts[gi]
+        g_end = dst_starts[gi + 2] + all_len[gi + 2]
+        grams = splitmix64(fnv1a64_slices(g_start, g_end, out))
+        g_doc = all_doc[gi]
+        gcnt = np.bincount(g_doc, minlength=n).astype(np.int64)
+        n_shingles = gcnt.astype(np.int32)
+        # per-doc signature minima: grams are doc-ordered and contiguous.
+        # Permutations are processed in blocks so the (P_block, G) working
+        # matrix stays ~100 MB regardless of batch density.
+        goff = np.cumsum(gcnt) - gcnt
+        safe = np.minimum(goff, grams.shape[0] - 1)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        n_shingles = np.empty(n, dtype=np.int32)
-        for i in range(n):
-            sh = self.doc_shingles(data[offsets[i] : offsets[i + 1]])
-            n_shingles[i] = sh.shape[0]
-            if sh.shape[0]:
-                sigs[i] = self.signature(np.unique(sh))
-            else:
-                sigs[i] = _U64(0xFFFFFFFFFFFFFFFF)
+        p_block = max(1, (100 << 20) // (8 * max(grams.shape[0], 1)))
+        for p0 in range(0, self.num_perm, p_block):
+            a = self.a[p0 : p0 + p_block, None]
+            b = self.b[p0 : p0 + p_block, None]
+            vals = _splitmix64(a * grams[None, :] + b)
+            sigs[:, p0 : p0 + p_block] = np.minimum.reduceat(vals, safe, axis=1).T
+        sigs[gcnt == 0] = _U64(0xFFFFFFFFFFFFFFFF)
+        return sigs, n_shingles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if self.shingle == "word3":
+            sigs, n_shingles = self._word3_batch(batch)
+        else:
+            data, offsets = byte_views(batch.column(self.text_col))
+            sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+            n_shingles = np.empty(n, dtype=np.int32)
+            for i in range(n):
+                sh = self.doc_shingles(data[offsets[i] : offsets[i + 1]])
+                n_shingles[i] = sh.shape[0]
+                if sh.shape[0]:
+                    sigs[i] = self.signature(np.unique(sh))
+                else:
+                    sigs[i] = _U64(0xFFFFFFFFFFFFFFFF)
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()

@@ -26,7 +26,8 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """FNV-1a 64-bit per token, then splitmix-finalized."""
+    """FNV-1a 64-bit per token, then splitmix-finalized (scalar reference,
+    kept as the differential-test spec for the vectorized batch path)."""
     out = np.empty(len(tokens), dtype=np.uint64)
     for i, t in enumerate(tokens):
         h = 0xCBF29CE484222325
@@ -47,6 +48,38 @@ def simhash64(tokens: list[str]) -> int:
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash_batch(lists) -> np.ndarray:
+    """Vectorized simhash64 for a list<string> token array: FNV-1a over byte
+    positions (functions/strhash.py), bit votes aggregated per document with
+    a segmented reduction. Bit-identical to simhash64 per document."""
+    from plakar_ray.functions.strhash import (
+        arrow_token_lists,
+        fnv1a64_slices,
+        reduceat_fixed,
+        splitmix64,
+    )
+
+    starts, ends, data, doc_off = arrow_token_lists(lists)
+    n_docs = doc_off.shape[0] - 1
+    hs = splitmix64(fnv1a64_slices(starts, ends, data))
+    w = (ends > starts)  # drop empty split artifacts
+    # unpackbits(bitorder=little) on the LE uint64 bytes puts column b at
+    # bit (h >> b) & 1 — ~200x faster than a 64-way shift broadcast.
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    bits *= w[:, None]
+    sums = reduceat_fixed(bits, doc_off)  # (n_docs, 64) per-bit one-votes
+    cnt = reduceat_fixed(w.astype(np.int32), doc_off)  # non-empty tokens/doc
+    votes = 2 * sums - cnt[:, None]
+    shifts = np.arange(64, dtype=np.uint64)
+    out = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[cnt == 0] = 0
+    return out if n_docs else out[:0]
+
+
 class SimHashStage:
     """documents batch -> (id, simhash) rows."""
 
@@ -57,16 +90,10 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lower = pc.utf8_lower(batch.column(self.text_col))
         lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        out = np.empty(len(batch), dtype=np.uint64)
-        for i in range(len(batch)):
-            toks = [t for t in lists[i].as_py() if t]
-            out[i] = simhash64(toks)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "simhash": pa.array(out, type=pa.uint64()),
+                "simhash": pa.array(simhash_batch(lists), type=pa.uint64()),
             }
         )
 
@@ -97,12 +124,14 @@ def simhash_pieces_batch(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
 def simhash_candidate_pairs(ds, bands: int = 4, max_hamming: int = 3, id_col: str = "doc_id"):
     """documents -> verified near-dup edges (hamming(simhash) <= max_hamming).
     Guaranteed complete for max_hamming <= bands-1 (pigeonhole)."""
+    from plakar_ray.stages.chunk import default_pool_size
+
     sketches = ds.map_batches(
         SimHashStage,
         fn_constructor_kwargs=dict(id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=default_pool_size(),
     )
     pieces = sketches.map_batches(
         lambda b: simhash_pieces_batch(b, bands, id_col), batch_format="pyarrow"

@@ -80,7 +80,10 @@ def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
             id_col: st.column(id_col),
             "n_chars": st.column("n_chars"),
             "n_tokens": st.column("n_tokens"),
-            "quality": pa.array(np.round(quality, 6)),
+            # raw float64, no rounding: consumers fixed-point it with
+            # floor(q*1e6+0.5), which is bit-reproducible across engines when
+            # the blend is computed in this exact operation order
+            "quality": pa.array(quality),
         }
     )
 

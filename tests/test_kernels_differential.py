@@ -121,3 +121,63 @@ def test_ultracdc_tile_tail_positions(spec):
     got = boundaries_ultracdc(doc, opts, spec).tolist()
     assert got == want
     assert len(want) == 3 and want[-1] <= 7  # the case the old loop merged
+
+
+def test_simhash_batch_matches_scalar():
+    """Vectorized positional-FNV simhash == per-token scalar loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plakar_ray.stages.simhash import simhash64, simhash_batch
+
+    rng = np.random.default_rng(9)
+    texts = []
+    for _ in range(100):
+        nw = int(rng.integers(0, 60))
+        words = [
+            "".join(chr(97 + c) for c in rng.integers(0, 36, rng.integers(1, 12)))
+            for _ in range(nw)
+        ]
+        texts.append(" !@# ".join(words))
+    texts += ["", "   ", "a", "THE the THE", "x1 y2 z3"]
+    lists = pc.split_pattern_regex(pc.utf8_lower(pa.array(texts)), "[^a-z0-9]+")
+    vec = simhash_batch(lists)
+    for i in range(len(texts)):
+        toks = [t for t in lists[i].as_py() if t]
+        assert int(vec[i]) == simhash64(toks), i
+
+
+def test_word3_batch_matches_scalar():
+    """Vectorized joined-stream word-3-gram signatures == per-doc scalar
+    path (same bytes, FNV, padding, signature minima)."""
+    import pyarrow as pa
+
+    from plakar_ray.stages.minhash import MinHashStage
+
+    st = MinHashStage(shingle="word3", num_perm=48, seed=7)
+    rng = np.random.default_rng(11)
+    texts = []
+    for _ in range(100):
+        nw = int(rng.integers(0, 40))
+        words = [
+            "".join(chr(97 + c) for c in rng.integers(0, 36, rng.integers(1, 10)))
+            for _ in range(nw)
+        ]
+        texts.append(" ".join(words))
+    texts += ["", "one", "two words", "three word doc", "    ", "a b", "x"]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = st(batch)
+    sig = np.asarray(
+        out.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(len(texts), 48)
+    nsh = out.column("n_shingles").to_numpy(zero_copy_only=False)
+    for i, s in enumerate(texts):
+        sh = st._word3_shingles(np.frombuffer(s.encode(), dtype=np.uint8))
+        assert nsh[i] == sh.shape[0]
+        if sh.shape[0]:
+            ref = st.signature(np.unique(sh))
+        else:
+            ref = np.full(48, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        assert (sig[i] == ref).all(), i

@@ -32,7 +32,7 @@ def test_store_roundtrip(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     stored = sum(
-        pq.read_metadata(p).num_rows for p in glob.glob(f"{out}/store/bucket=*/data.parquet")
+        pq.read_metadata(p).num_rows for p in glob.glob(f"{out}/store/bucket=*/*.parquet")
     )
     recipes = sum(pq.read_metadata(p).num_rows for p in glob.glob(f"{out}/recipes/*.parquet"))
     assert stored == summary["unique_chunks"]
