@@ -228,57 +228,13 @@ def q_doc_fingerprints(sf_dir: str) -> pa.Table:
 
 
 def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact distinct-token Jaccard for all doc pairs >= 0.5 (n-gram Jaccard
-    family, unigram flavor — SQL-mirrorable via list_distinct/list_intersect).
-    """
-    import pyarrow.compute as pc
-    import ray
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def token_sets(batch: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(batch.column("text"))
-        lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
-        return pa.table({"doc_id": batch.column("doc_id"), "tokens": lists})
-
-    rows = ds.map_batches(token_sets, batch_format="pyarrow").to_pandas()
-    ids = rows["doc_id"].to_numpy()
-    sets = [frozenset(t for t in toks if t) for toks in rows["tokens"]]
-    order = np.argsort(ids)
-    ids, sets = ids[order], [sets[i] for i in order]
-
-    # Distributed blocked all-pairs: broadcast the set list once.
-    sets_ref = ray.put((ids, sets))
-    import ray.data
-
-    block = 64
-    starts = [{"start": s} for s in range(0, len(ids), block)]
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_sets = ray.get(sets_ref)
-        out = {"id_a": [], "id_b": [], "jaccard": []}
-        for s in batch.column("start").to_pylist():
-            for i in range(s, min(s + block, len(all_ids))):
-                si = all_sets[i]
-                for j in range(i + 1, len(all_ids)):
-                    sj = all_sets[j]
-                    inter = len(si & sj)
-                    union = len(si) + len(sj) - inter
-                    if union and inter / union >= 0.5:
-                        out["id_a"].append(int(all_ids[i]))
-                        out["id_b"].append(int(all_ids[j]))
-                        out["jaccard"].append(round(inter / union, 6))
-        return pa.table(
-            {
-                "id_a": pa.array(out["id_a"], type=pa.int64()),
-                "id_b": pa.array(out["id_b"], type=pa.int64()),
-                "jaccard": pa.array(out["jaccard"], type=pa.float64()),
-            }
-        )
+    """Exact distinct-token Jaccard for all doc pairs >= 0.5, via the
+    prefix-filter set-similarity join (pipelines/setjoin.py) — exact pair
+    set, no all-pairs loop, no whole-corpus broadcast."""
+    from plakar_ray.pipelines.setjoin import token_jaccard_join
 
     res = (
-        ray.data.from_items(starts)
-        .map_batches(pairs, batch_format="pyarrow")
+        token_jaccard_join(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
         .to_pandas()
         .sort_values(["id_a", "id_b"])
     )

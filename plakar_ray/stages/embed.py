@@ -275,42 +275,88 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     block: int = 1024,
 ) -> pa.Table:
-    """All pairs with cosine >= threshold via blocked matmul: the embedding
-    table is re-broadcast as normalized blocks; each map task compares its
-    batch against every block at or after it (upper triangle)."""
+    """All pairs with cosine >= threshold via block-pair matmul tasks.
+
+    The EXACT O(N^2/2) baseline (the approximate scale paths are
+    hyperplane_lsh_pairs and ivf_topk): embeddings are normalized per block
+    inside map_batches and left IN THE OBJECT STORE (`materialize` +
+    `to_arrow_refs`); each (i <= j) block pair becomes one map task that
+    fetches exactly its two blocks. Nothing ever concentrates the full
+    matrix on the driver or in one worker, so the object store can spill
+    and the compute spreads across the cluster."""
     import ray
-
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy()
-    m = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in full[vec_col]]))
-    m_ref = ray.put((ids, m))
-
     import ray.data
 
-    starts = list(range(0, m.shape[0], block))
-    blocks_ds = ray.data.from_items([{"start": s} for s in starts])
-
-    def pairs_for_block(batch: pa.Table) -> pa.Table:
-        all_ids, mm = ray.get(m_ref)
-        out_a, out_b, out_c = [], [], []
-        for s in batch.column("start").to_pylist():
-            a = mm[s : s + block]
-            sims = a @ mm[s:].T
-            ia, ib = np.nonzero(sims >= threshold)
-            keep = ib > ia  # strict upper triangle within the shifted frame
-            for x, y in zip(ia[keep], ib[keep]):
-                out_a.append(int(all_ids[s + x]))
-                out_b.append(int(all_ids[s + y]))
-                out_c.append(round(float(sims[x, y]), 6))
+    def norm_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        m = _normalize(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()]
+            )
+        )
+        dim = m.shape[1] if m.ndim == 2 else 0
         return pa.table(
             {
-                "id_a": pa.array(out_a, type=pa.int64()),
-                "id_b": pa.array(out_b, type=pa.int64()),
-                "cosine": pa.array(out_c, type=pa.float64()),
+                id_col: ids,
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1), type=pa.float64()), dim
+                ),
             }
         )
 
-    parts = blocks_ds.map_batches(pairs_for_block, batch_format="pyarrow")
+    normalized = ds.map_batches(
+        norm_batch, batch_format="pyarrow", batch_size=block, zero_copy_batch=True
+    ).materialize()
+    block_refs = normalized.to_arrow_refs()
+    n_blocks = len(block_refs)
+
+    def _unpack(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        vec = tbl.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        dim = vec.type.list_size
+        m = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(tbl), dim)
+        return ids, m
+
+    def pairs_for_block_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_c = [], [], []
+        for bi, bj in zip(
+            batch.column("i").to_pylist(), batch.column("j").to_pylist()
+        ):
+            ids_i, mi = _unpack(ray.get(block_refs[bi]))
+            ids_j, mj = (ids_i, mi) if bj == bi else _unpack(ray.get(block_refs[bj]))
+            sims = mi @ mj.T
+            ia, ib = np.nonzero(sims >= threshold)
+            if bi == bj:
+                keep = ib > ia
+                ia, ib = ia[keep], ib[keep]
+            ga, gb = ids_i[ia], ids_j[ib]
+            lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(np.round(sims[ia, ib], 6))
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            c = np.concatenate(out_c)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+            c = np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, type=pa.int64()),
+                "id_b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(c, type=pa.float64()),
+            }
+        )
+
+    pair_index = [
+        {"i": i, "j": j} for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+    parts = ray.data.from_items(pair_index).map_batches(
+        pairs_for_block_pair, batch_format="pyarrow", batch_size=4
+    )
     collected = [b for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows]
     if not collected:
         return pa.table(
