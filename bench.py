@@ -24,6 +24,77 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+
+class RssSampler:
+    """Peak-RSS probe mirroring the reference cdcbench's memory sampler
+    (/root/reference/cmd/cdcbench/bench.go:138-173, README.md:116-132): a
+    background thread walks /proc every 200 ms during the timed region and
+    sums VmRSS over the driver plus every Ray worker/raylet process (no
+    psutil in this environment). Reports peak aggregate RSS, peak
+    single-process RSS, and the max process count seen."""
+
+    def __init__(self, interval_s: float = 0.2):
+        import threading
+
+        self.interval_s = interval_s
+        self.peak_total = 0
+        self.peak_single = 0
+        self.peak_procs = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _snapshot():
+        me = str(os.getpid())
+        total = single = n = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if (
+                    pid != me
+                    and b"ray::" not in cmd
+                    and b"default_worker.py" not in cmd
+                    and b"raylet" not in cmd
+                ):
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            b = int(line.split()[1]) * 1024
+                            total += b
+                            single = max(single, b)
+                            n += 1
+                            break
+            except OSError:
+                continue
+        return total, single, n
+
+    def _run(self):
+        while not self._stop.is_set():
+            t, s, n = self._snapshot()
+            self.peak_total = max(self.peak_total, t)
+            self.peak_single = max(self.peak_single, s)
+            self.peak_procs = max(self.peak_procs, n)
+            self._stop.wait(self.interval_s)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+    def report(self) -> dict:
+        return {
+            "peak_rss_total_mb": round(self.peak_total / 1e6, 1),
+            "peak_rss_worker_mb": round(self.peak_single / 1e6, 1),
+            "procs": self.peak_procs,
+        }
+
 CORPUS_DOCS = int(os.environ.get("BENCH_DOCS", "256"))
 DOC_BYTES = int(os.environ.get("BENCH_DOC_BYTES", str(4 * 1024 * 1024)))
 
@@ -77,18 +148,20 @@ def bench_chunking(corpus, num_cpus: int) -> dict:
     warm = corpus.limit(min(2 * num_cpus, CORPUS_DOCS))
     chunk_dataset(warm, "fastcdc", None, batch_size=1).count()
 
-    t0 = time.time()
-    chunks = chunk_dataset(
-        corpus, "fastcdc", None, concurrency=(1, num_cpus), batch_size=1
-    )
-    n_chunks = chunks.count()
-    wall = time.time() - t0
+    with RssSampler() as rss:
+        t0 = time.time()
+        chunks = chunk_dataset(
+            corpus, "fastcdc", None, concurrency=(1, num_cpus), batch_size=1
+        )
+        n_chunks = chunks.count()
+        wall = time.time() - t0
     total_mb = (CORPUS_DOCS * DOC_BYTES) / 1e6
     return {
         "wall_s": round(wall, 3),
         "chunks": int(n_chunks),
         "total_mb": total_mb,
         "mb_per_s": round(total_mb / wall, 1),
+        **rss.report(),
     }
 
 
@@ -100,18 +173,20 @@ def bench_minhash(corpus, num_cpus: int) -> dict:
     at 100 TB, not the driver-local fast path."""
     from plakar_ray.pipelines.dedup import near_dup_pairs
 
-    t0 = time.time()
-    edges = near_dup_pairs(
-        corpus, "fastcdc", None, num_perm=128, bands=32,
-        concurrency=(1, num_cpus), local_threshold=0,
-    )
-    n_edges = edges.count()
-    wall = time.time() - t0
+    with RssSampler() as rss:
+        t0 = time.time()
+        edges = near_dup_pairs(
+            corpus, "fastcdc", None, num_perm=128, bands=32,
+            concurrency=(1, num_cpus), local_threshold=0,
+        )
+        n_edges = edges.count()
+        wall = time.time() - t0
     total_mb = (CORPUS_DOCS * DOC_BYTES) / 1e6
     return {
         "wall_s": round(wall, 3),
         "edges": int(n_edges),
         "mb_per_s": round(total_mb / wall, 1),
+        **rss.report(),
     }
 
 
@@ -244,6 +319,8 @@ def main():
                 f"minhash_mbps_{ns[0]}cpu": m8,
                 f"minhash_mbps_{ns[1]}cpu": m32,
                 "minhash_efficiency": round(m32 / (4 * m8), 3),
+                f"peak_rss_total_mb_{ns[0]}cpu": results[ns[0]]["chunking"]["peak_rss_total_mb"],
+                f"peak_rss_total_mb_{ns[1]}cpu": results[ns[1]]["chunking"]["peak_rss_total_mb"],
             },
         }
         print(json.dumps(out))
@@ -266,6 +343,12 @@ def main():
         "minhash_mb_per_s": r["minhash"]["mb_per_s"],
         "algo_mb_per_s": r["algos"],
         "chunks": r["chunking"]["chunks"],
+        "peak_rss_total_mb": max(
+            r["chunking"]["peak_rss_total_mb"], r["minhash"]["peak_rss_total_mb"]
+        ),
+        "peak_rss_worker_mb": max(
+            r["chunking"]["peak_rss_worker_mb"], r["minhash"]["peak_rss_worker_mb"]
+        ),
     }
     print(json.dumps(out))
 

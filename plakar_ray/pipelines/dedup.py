@@ -24,7 +24,7 @@ from plakar_ray.sources.pages import apply_insertions
 from plakar_ray.stages.chunk import ChunkerStage, default_pool_size
 from plakar_ray.stages.lsh import candidate_pairs
 from plakar_ray.stages.minhash import minhash_signatures
-from plakar_ray.state.unionfind import connected_components_ds
+from plakar_ray.state.unionfind import connected_components_ds, label_propagation
 
 
 # ------------------------------------------------------------ exact dedup ---
@@ -139,16 +139,38 @@ def near_dup_clusters(
     concurrency=None,
     shingle: str = "cdc",
     local_threshold: int = 20_000,
+    distributed_cc_threshold: int = 2_000_000,
+    cc_metrics: list | None = None,
 ) -> pa.Table:
     """Flagship: near-duplicate clusters (id, cluster_id = min member id).
-    Union-find runs driver-side over the edge Dataset's batches (edges ~
-    #dup-docs, orders of magnitude below the corpus; see
-    state/unionfind.label_propagation for the all-distributed variant)."""
+
+    Clustering path auto-switches on edge count: at or below
+    `distributed_cc_threshold` edges, union-find streams the edge batches
+    on the driver (edges ~ #dup-docs, orders of magnitude below the
+    corpus); above it, state/unionfind.label_propagation runs fully
+    distributed (labels co-shuffled with edges via hash joins — the driver
+    never holds the edge set). Set the threshold to 0 to force the
+    distributed path; `cc_metrics` receives its per-round convergence rows.
+    """
     edges = near_dup_pairs(
         ds, algo, opts, num_perm, bands, seed, id_col, text_col,
         salt_buckets=salt_buckets, concurrency=concurrency, shingle=shingle,
         local_threshold=local_threshold,
-    )
+    ).materialize()
+    if edges.count() > distributed_cc_threshold:
+        labels = label_propagation(edges, metrics=cc_metrics)
+        out = labels.to_arrow_refs()
+        import ray
+
+        t = pa.concat_tables([ray.get(r) for r in out])
+        order = pa.compute.sort_indices(t.column("id"))
+        t = t.take(order)
+        return pa.table(
+            {
+                id_col: t.column("id"),
+                "cluster_id": t.column("cluster_id"),
+            }
+        )
     comp = connected_components_ds(edges)
     if not comp:
         return pa.table(
@@ -174,6 +196,7 @@ def near_dup_clusters_resumable(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt_buckets: int | None = None,
+    distributed_cc_threshold: int = 2_000_000,
 ) -> pa.Table:
     """Checkpoint-resumable flagship: one lineage partition per input shard.
 
@@ -210,7 +233,21 @@ def near_dup_clusters_resumable(
 
     edges = candidate_pairs(
         sig_ds, bands=bands, id_col=id_col, salt_buckets=salt_buckets, checkpoint=False
-    )
+    ).materialize()
+    if edges.count() > distributed_cc_threshold:
+        import json
+
+        import ray
+
+        rounds: list = []
+        labels = label_propagation(edges, metrics=rounds)
+        t = pa.concat_tables([ray.get(r) for r in labels.to_arrow_refs()])
+        t = t.take(pa.compute.sort_indices(t.column("id")))
+        # Convergence evidence rides the lineage dir next to the stage
+        # manifests: one row per propagation round.
+        with open(os.path.join(checkpoint_dir, "clustering_convergence.json"), "w") as f:
+            json.dump({"path": "label_propagation", "rounds": rounds}, f, indent=1)
+        return pa.table({id_col: t.column("id"), "cluster_id": t.column("cluster_id")})
     comp = connected_components_ds(edges)
     ids = sorted(comp)
     return pa.table(

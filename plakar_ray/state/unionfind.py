@@ -65,19 +65,73 @@ def connected_components_ds(edges_ds, a_col: str = "id_a", b_col: str = "id_b") 
     return uf.components()
 
 
-def label_propagation(edges_ds, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 20):
+def label_propagation(
+    edges_ds,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+    metrics: list | None = None,
+):
     """Distributed min-label propagation over an edge Dataset.
 
-    Node state is carried by the edges themselves: each round, every edge
-    emits (node, neighbor_label) both ways and a groupby(node).min gives the
-    new labels; edges re-read labels by joining through a second groupby on
-    the edge key. Returns a Dataset (id, cluster_id). One groupby shuffle per
-    round; stops early when the global min-label sum stops changing.
-    """
-    import pyarrow as pa
-    from ray.data.aggregate import Min, Sum
+    Labels live in their own (node, label) Dataset and are CO-SHUFFLED with
+    the edges: each round refreshes both endpoints' labels with two hash
+    joins keyed on the node id, emits (node, neighbor_label) both ways plus
+    self-offers (so labels are monotone non-increasing), and takes
+    groupby(node).min. Nothing is collected to or broadcast from the driver
+    — every round is joins + one groupby, all keyed exchanges; only block
+    REFS pass through the driver between rounds.
+    Converges in O(cluster diameter) rounds (LSH dup clusters are
+    near-cliques, so diameter is tiny); stops early when the global
+    label-sum fixes. Returns a Dataset (id, cluster_id = min member id).
 
-    # labels(i) start as the node's own id: derive the node list from edges.
+    If `metrics` is a list, one row per completed round is appended:
+    {"round", "label_sum", "n_nodes", "wall_s"} — callers persist these as
+    convergence evidence (see pipelines/dedup.near_dup_clusters_resumable).
+    """
+    import time
+
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(8, cpus // 4)
+
+    import ray.data as rd
+
+    edges = edges_ds.select_columns([a_col, b_col]).materialize()
+    node_type = edges.schema().base_schema.field(a_col).type
+    empty = pa.schema([("node", node_type), ("label", node_type)]).empty_table()
+
+    def _rebuild(mds, fallback: pa.Table):
+        """Rebuild a materialized dataset from its non-empty block refs.
+
+        Two reasons: (1) hash-partitioned groupbys/joins emit COLUMNLESS
+        empty blocks for empty partitions — map_batches skips empty blocks
+        (a normalizing UDF never sees them) and pyarrow's join rejects a
+        columnless side; (2) an edge Dataset arriving from the LSH stage
+        carries a captured DataContext with HASH_SHUFFLE scoped to it, and
+        hash-strategy groupbys mixed with join aggregator pools deadlock
+        on small CPU counts — from_arrow_refs re-captures the default
+        context. Driver-side metadata filter only: no block is fetched."""
+        refs = [
+            ref
+            for bundle in mds.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows
+        ]
+        if not refs:
+            return rd.from_arrow(fallback)
+        return rd.from_arrow_refs(refs)
+
+    edges = _rebuild(edges, edges.schema().base_schema.empty_table())
+
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col)
         b = batch.column(b_col)
@@ -88,68 +142,75 @@ def label_propagation(edges_ds, a_col: str = "id_a", b_col: str = "id_b", max_it
             }
         )
 
-    # Round 0: direct neighbor mins.
-    labels = (
-        edges_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("node")
-        .min("label")
-    )
-    labels = labels.map_batches(
-        lambda t: pa.table(
+    def _min_with_self(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return empty
+        return pa.table(
             {
                 "node": t.column("node"),
                 "label": pa.compute.min_element_wise(t.column("node"), t.column("min(label)")),
             }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+
+    # Round 0: direct neighbor mins (label(node) <= node from here on).
+    labels = _rebuild(
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("node")
+        .min("label")
+        .map_batches(_min_with_self, batch_format="pyarrow")
+        .materialize(),
+        empty,
+    )
+
+    def relabel_exploded(batch: pa.Table) -> pa.Table:
+        # Edge row carries both endpoints' current labels after the joins;
+        # each endpoint offers its label to the other AND re-offers its own
+        # (self-offers keep labels monotone without unioning the label
+        # table back in — a union of join-derived blocks confuses Ray's
+        # schema unification with empty-schema blocks).
+        if batch.num_rows == 0 or a_col not in batch.column_names:
+            return empty
+        a = batch.column(a_col).combine_chunks()
+        b = batch.column(b_col).combine_chunks()
+        la = batch.column("label_a").combine_chunks()
+        lb = batch.column("label_b").combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b, a, b]),
+                "label": pa.concat_arrays([lb, la, la, lb]),
+            }
+        )
 
     prev_sum = None
-    for _ in range(max_iter):
-        cur = labels.aggregate(Sum("label"))["sum(label)"]
+    for rnd in range(max_iter):
+        t0 = time.time()
+        agg = labels.aggregate(Sum("label"), Count())
+        cur = agg["sum(label)"]
+        if metrics is not None:
+            metrics.append(
+                {
+                    "round": rnd,
+                    "label_sum": int(cur or 0),
+                    "n_nodes": int(agg["count()"]),
+                    "wall_s": round(time.time() - t0, 3),
+                }
+            )
         if cur == prev_sum:
             break
         prev_sum = cur
-        # Propagate: node's label flows to every neighbor via the edge list.
-        # Broadcast the label map once per round with ray.put (it only
-        # contains nodes that appear on edges — far smaller than the corpus)
-        # and refresh edge endpoints' labels inside map_batches.
-        import ray
-
-        label_map: dict = {}
-        for t in labels.iter_batches(batch_format="pyarrow"):
-            label_map.update(zip(t.column("node").to_pylist(), t.column("label").to_pylist()))
-        label_map_ref = ray.put(label_map)
-
-        def relabel(batch: pa.Table, ref=label_map_ref) -> pa.Table:
-            m = ray.get(ref)
-            a = batch.column(a_col).to_pylist()
-            b = batch.column(b_col).to_pylist()
-            la = [m.get(x, x) for x in a]
-            lb = [m.get(x, x) for x in b]
-            return pa.table(
-                {
-                    "node": pa.array(a + b),
-                    "label": pa.array(lb + la),
-                }
-            )
-
-        labels = (
-            edges_ds.map_batches(relabel, batch_format="pyarrow")
-            .groupby("node")
+        la = labels.rename_columns({"node": a_col, "label": "label_a"})
+        lb = labels.rename_columns({"node": b_col, "label": "label_b"})
+        offered = (
+            edges.join(la, "inner", num_partitions, on=(a_col,))
+            .join(lb, "inner", num_partitions, on=(b_col,))
+            .map_batches(relabel_exploded, batch_format="pyarrow")
+        )
+        labels = _rebuild(
+            offered.groupby("node")
             .min("label")
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t.column("node"),
-                        "label": pa.compute.min_element_wise(
-                            t.column("node"), t.column("min(label)")
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
+            .map_batches(_min_with_self, batch_format="pyarrow")
+            .materialize(),
+            empty,
         )
     return labels.map_batches(
         lambda t: pa.table({"id": t.column("node"), "cluster_id": t.column("label")}),

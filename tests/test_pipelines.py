@@ -210,7 +210,8 @@ def test_label_propagation_matches_unionfind(ray_session):
         }
     )
     want = connected_components(edges)
-    got_ds = label_propagation(ray.data.from_arrow(t))
+    metrics = []
+    got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics)
     got = dict(
         zip(
             got_ds.to_pandas()["id"].tolist(),
@@ -218,6 +219,45 @@ def test_label_propagation_matches_unionfind(ray_session):
         )
     )
     assert got == want
+    # Convergence rows: one per round, label_sum monotone non-increasing,
+    # final two rounds equal (the stop condition).
+    assert len(metrics) >= 2
+    sums = [m["label_sum"] for m in metrics]
+    assert all(a >= b for a, b in zip(sums, sums[1:]))
+    assert sums[-1] == sums[-2]
+    assert metrics[0]["n_nodes"] == len(want)
+
+
+def test_near_dup_clusters_distributed_cc_matches_unionfind(ray_session):
+    """Threshold boundary: distributed_cc_threshold=0 forces label
+    propagation; the cluster table must be identical to the driver
+    union-find path on the same corpus."""
+    import ray.data
+
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    rng = np.random.default_rng(11)
+    base = "".join(chr(97 + c) for c in rng.integers(0, 26, 4000))
+    texts = []
+    for i in range(60):
+        if i % 3 == 0:
+            texts.append(base)  # 20 identical docs -> one big cluster
+        else:
+            texts.append("".join(chr(97 + c) for c in rng.integers(0, 26, 3000)))
+    table = pa.table(
+        {"doc_id": pa.array(range(60), type=pa.int64()), "text": pa.array(texts)}
+    )
+    kw = dict(num_perm=64, bands=16, local_threshold=0)
+    uf = near_dup_clusters(
+        _ds(table), "fastcdc-v1.0.0", SMALL, distributed_cc_threshold=10**12, **kw
+    ).to_pandas()
+    metrics = []
+    lp = near_dup_clusters(
+        _ds(table), "fastcdc-v1.0.0", SMALL, distributed_cc_threshold=0,
+        cc_metrics=metrics, **kw
+    ).to_pandas()
+    assert uf.values.tolist() == lp.values.tolist()
+    assert len(metrics) >= 2
 
 
 def test_hot_bucket_skew_salted(ray_session):
