@@ -104,3 +104,40 @@ def test_golden_default(golden, algo, size, shape):
 @pytest.mark.parametrize("algo,size,shape", list(_cases(full=True)))
 def test_golden_full(golden, algo, size, shape):
     _check(golden, algo, size, shape)
+
+
+# --- repo-local goldens for variants the reference golden.json omits ------
+# jc-v1.1.0 / ultracdc-v1.0.0 / fixed-v1.0.0 have no reference fingerprints
+# (buffer_test.go:64-114 covers them with spot cases only). Fingerprints in
+# tests/data/golden_local.json are pinned from the SCALAR ORACLE
+# (plakar_ray/oracle.py) by tools/gen_local_golden.py over the same shapes.
+
+LOCAL_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "data", "golden_local.json")
+LOCAL_ALGOS = ["jc-v1.1.0", "ultracdc-v1.0.0", "fixed-v1.0.0"]
+
+
+@pytest.fixture(scope="module")
+def golden_local():
+    if not os.path.exists(LOCAL_GOLDEN_PATH):
+        pytest.skip("tests/data/golden_local.json not generated")
+    return json.load(open(LOCAL_GOLDEN_PATH))
+
+
+def _local_cases(full: bool):
+    for algo in LOCAL_ALGOS:
+        for size in SIZES:
+            for shape in SHAPES:
+                if not full and not (size == "2K-8K-64K" or shape in CHEAP_SHAPES):
+                    continue
+                yield algo, size, shape
+
+
+@pytest.mark.parametrize("algo,size,shape", list(_local_cases(full=False)))
+def test_golden_local_default(golden_local, algo, size, shape):
+    _check(golden_local, algo, size, shape)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("algo,size,shape", list(_local_cases(full=True)))
+def test_golden_local_full(golden_local, algo, size, shape):
+    _check(golden_local, algo, size, shape)

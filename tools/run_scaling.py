@@ -1,0 +1,79 @@
+"""Run bench.py --scaling N times and write a ROBUST headline artifact.
+
+Addresses the round-1 advice: the headline machine-readable scaling file
+must be a robust statistic over recorded runs, not the best-of. Each raw
+run JSON is appended to BENCH/scaling_all_runs_r{R}.jsonl; the headline
+BENCH/scaling_local_r{R}.json carries the MEDIAN efficiency with
+best/min/n_runs alongside, plus per-metric medians for the signatures and
+minhash (distributed LSH path) rows.
+
+    python tools/run_scaling.py [n_runs] [round]
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    rnd = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    raw_path = os.path.join(REPO, "BENCH", f"scaling_all_runs_r{rnd}.jsonl")
+    head_path = os.path.join(REPO, "BENCH", f"scaling_local_r{rnd}.json")
+    os.makedirs(os.path.dirname(raw_path), exist_ok=True)
+
+    runs = []
+    if os.path.exists(raw_path):
+        with open(raw_path) as f:
+            runs = [json.loads(l) for l in f if l.strip()]
+    for i in range(n_runs):
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+            capture_output=True, text=True, timeout=7200,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print("run failed:", p.stderr[-1000:])
+            continue
+        r = json.loads(line[-1])
+        runs.append(r)
+        with open(raw_path, "a") as f:
+            f.write(json.dumps(r) + "\n")
+        print(f"run {i + 1}/{n_runs}: chunking={r['value']}",
+              {k: v for k, v in r["queries"].items() if "efficiency" in k}, flush=True)
+
+    if not runs:
+        sys.exit(1)
+    vals = sorted(r["value"] for r in runs)
+
+    def med(key):
+        xs = [r["queries"][key] for r in runs if key in r["queries"]]
+        return round(statistics.median(xs), 3) if xs else None
+
+    head = {
+        "metric": runs[-1]["metric"],
+        "value": round(statistics.median(vals), 3),
+        "stat": "median",
+        "best": max(vals),
+        "min": min(vals),
+        "n_runs": len(runs),
+        "unit": "ratio",
+        "sf": runs[-1]["sf"],
+        "num_cpus": runs[-1]["num_cpus"],
+        "queries": {
+            "signatures_efficiency_median": med("signatures_efficiency"),
+            "minhash_efficiency_median": med("minhash_efficiency"),
+            **runs[-1]["queries"],
+        },
+    }
+    with open(head_path, "w") as f:
+        json.dump(head, f, indent=1)
+    print(json.dumps(head))
+
+
+if __name__ == "__main__":
+    main()
