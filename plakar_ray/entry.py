@@ -588,6 +588,45 @@ def q_dedup_ratio_sweep_fixed(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cross_doc_dup_bytes_fixed(sf_dir: str) -> pa.Table:
+    """Exact cross-document substring duplication, fixed 256-byte
+    granularity (SQL-checkable twin of the CDC variant below)."""
+    from plakar_ray.pipelines.dedup import cross_doc_dup_bytes
+
+    out = cross_doc_dup_bytes(
+        _docs(sf_dir, ["doc_id", "text"]),
+        "fixed-v1.0.0",
+        ChunkerOpts(normal_size=FIXED_SIZE),
+    ).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "dup_chunks": pa.array(out["dup_chunks"], type=pa.int64()),
+            "dup_bytes": pa.array(out["dup_bytes"], type=pa.int64()),
+        }
+    )
+
+
+def q_cross_doc_dup_bytes(sf_dir: str) -> pa.Table:
+    """CDC-granularity cross-document substring duplication: boundaries
+    synchronize on shared content, so shared substrings >= ~2 chunk
+    lengths are detected regardless of byte offset (the suffix-array
+    substring-dedup role in the north rule, at chunk resolution)."""
+    from plakar_ray.pipelines.dedup import cross_doc_dup_bytes
+
+    out = cross_doc_dup_bytes(
+        _docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0",
+        ChunkerOpts(64, 2048, 256),
+    ).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "dup_chunks": pa.array(out["dup_chunks"], type=pa.int64()),
+            "dup_bytes": pa.array(out["dup_bytes"], type=pa.int64()),
+        }
+    )
+
+
 def queries():
     return {
         "chunk_explode_fixed": q_chunk_explode_fixed,
@@ -623,6 +662,8 @@ def queries():
         "length_histogram_fixed": q_length_histogram_fixed,
         "pages_extract_digests": q_pages_extract_digests,
         "unique_chunk_store": q_unique_chunk_store,
+        "cross_doc_dup_bytes_fixed": q_cross_doc_dup_bytes_fixed,
+        "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
     }
@@ -869,6 +910,26 @@ def oracle_sql():
                    (SELECT count(*) FROM u)::BIGINT AS unique_chunks,
                    (SELECT sum(len) FROM e)::BIGINT AS total_bytes,
                    (SELECT sum(len) FROM u)::BIGINT AS unique_bytes
+        """,
+        "cross_doc_dup_bytes_fixed": f"""
+            WITH e AS (
+              SELECT d.doc_id,
+                     md5(substr(d.text, (g.i * {FIXED_SIZE})::BIGINT + 1, {FIXED_SIZE}::BIGINT)) AS h,
+                     least({FIXED_SIZE}, octet_length(d.text::BLOB) - g.i * {FIXED_SIZE})::BIGINT AS len
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) > 0
+            ), x AS (
+              SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT e.doc_id,
+                   count(*)::BIGINT AS dup_chunks,
+                   sum(e.len)::BIGINT AS dup_bytes
+            FROM e JOIN x USING (h)
+            GROUP BY e.doc_id
+            ORDER BY e.doc_id
         """,
         "length_histogram_fixed": f"""
             WITH e AS (

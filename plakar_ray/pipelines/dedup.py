@@ -21,7 +21,7 @@ import pyarrow as pa
 from plakar_ray.functions.arrowbytes import byte_views
 from plakar_ray.opts import ChunkerOpts
 from plakar_ray.sources.pages import apply_insertions
-from plakar_ray.stages.chunk import ChunkerStage, default_pool_size
+from plakar_ray.stages.chunk import ChunkerStage, chunk_dataset, default_pool_size
 from plakar_ray.stages.lsh import candidate_pairs
 from plakar_ray.stages.minhash import minhash_signatures
 from plakar_ray.state.unionfind import connected_components_ds, label_propagation
@@ -255,6 +255,66 @@ def near_dup_clusters_resumable(
             id_col: pa.array(ids, type=pa.int64()),
             "cluster_id": pa.array([comp[i] for i in ids], type=pa.int64()),
         }
+    )
+
+
+# -------------------------------------------- cross-doc substring dedup ---
+
+
+def cross_doc_dup_bytes(
+    ds,
+    algo: str = "fastcdc",
+    opts: ChunkerOpts | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int | None = None,
+):
+    """Exact cross-document substring duplication at chunk granularity —
+    the Ray-Data-native stand-in for suffix-array substring dedup (north
+    rule): a substring shared verbatim between two documents shows up as
+    chunks whose content digest appears in >= 2 DISTINCT documents (CDC
+    boundaries synchronize on shared content, the reference's core
+    property, cmd/cdc/stats.go:122-155).
+
+    Returns a Dataset (doc_id, dup_chunks, dup_bytes) for every document
+    that carries cross-document duplicated bytes. One digest-keyed
+    exchange over the chunk table (no payload columns — digest+id+length
+    rows only) followed by a small per-doc groupby. Run with the fixed
+    chunker for the SQL-checkable variant; CDC for boundary-synchronized
+    accuracy."""
+    from ray.data.aggregate import Count, Sum
+
+    chunks = chunk_dataset(
+        ds, algo, opts, id_col=id_col, text_col=text_col, batch_size=batch_size
+    ).select_columns(["digest64", id_col, "length"])
+
+    def emit_cross_doc(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        uniq = pa.compute.unique(ids)
+        if len(uniq) < 2:
+            return pa.schema(
+                [(id_col, pa.int64()), ("length", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                id_col: ids,
+                "length": pa.compute.cast(group.column("length"), pa.int64()),
+            }
+        )
+
+    dup_rows = chunks.groupby("digest64").map_groups(
+        emit_cross_doc, batch_format="pyarrow"
+    )
+    agg = dup_rows.groupby(id_col).aggregate(Count(), Sum("length"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column(id_col),
+                "dup_chunks": pa.compute.cast(t.column("count()"), pa.int64()),
+                "dup_bytes": pa.compute.cast(t.column("sum(length)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -212,12 +212,8 @@ def test_label_propagation_matches_unionfind(ray_session):
     want = connected_components(edges)
     metrics = []
     got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics)
-    got = dict(
-        zip(
-            got_ds.to_pandas()["id"].tolist(),
-            got_ds.to_pandas()["cluster_id"].tolist(),
-        )
-    )
+    got_df = got_ds.to_pandas()  # single execution: row order differs per run
+    got = dict(zip(got_df["id"].tolist(), got_df["cluster_id"].tolist()))
     assert got == want
     # Convergence rows: one per round, label_sum monotone non-increasing,
     # final two rounds equal (the stop condition).
@@ -318,3 +314,73 @@ def test_word_ngram_minhash_recall(ray_session, fixture_pages):
     comp = dict(zip(cl.column("page_id").to_pylist(), cl.column("cluster_id").to_pylist()))
     hits = sum(1 for a, b in qual if comp.get(a, a) == comp.get(b, b))
     assert hits / len(qual) >= 0.99
+
+
+def test_cross_doc_dup_bytes_cdc_catches_unaligned(ray_session):
+    """CDC boundaries synchronize on content: a verbatim block embedded at
+    a DIFFERENT byte offset in another doc is still detected, while unique
+    docs report nothing. Also checks the local single-process oracle for
+    the exact per-doc numbers."""
+    import ray.data
+
+    from plakar_ray.pipelines.dedup import cross_doc_dup_bytes
+    from plakar_ray.oracle import chunk_lengths_oracle
+
+    rng = np.random.default_rng(7)
+
+    def rand_text(n, seed):
+        r = np.random.default_rng(seed)
+        return "".join(chr(97 + c) for c in r.integers(0, 26, n))
+
+    shared = rand_text(8000, 42)
+    doc0 = rand_text(2000, 1) + shared + rand_text(2000, 2)
+    doc1 = rand_text(531, 3) + shared + rand_text(3000, 4)   # unaligned offset
+    doc2 = rand_text(12000, 5)                                # unique
+    table = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([doc0, doc1, doc2]),
+        }
+    )
+    out = (
+        cross_doc_dup_bytes(_ds(table), "fastcdc-v1.0.0", SMALL)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    # The 8000-byte shared block minus boundary-resync slack on each side.
+    assert (out["dup_bytes"] > 6000).all()
+
+    # Exact oracle: chunk each doc with the scalar reference loop, count
+    # bytes of chunks whose content appears in >= 2 docs.
+    import hashlib
+
+    per_doc = []
+    for text in [doc0, doc1, doc2]:
+        data = text.encode()
+        lens = chunk_lengths_oracle("fastcdc-v1.0.0", data, SMALL)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        per_doc.append(
+            [
+                (hashlib.sha256(data[offs[i]: offs[i + 1]]).digest(), int(lens[i]))
+                for i in range(len(lens))
+            ]
+        )
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for d, chunks in enumerate(per_doc):
+        for h, _ in chunks:
+            owners[h].add(d)
+    want = {}
+    for d, chunks in enumerate(per_doc):
+        n = sum(1 for h, _ in chunks if len(owners[h]) >= 2)
+        b = sum(l for h, l in chunks if len(owners[h]) >= 2)
+        if n:
+            want[d] = (n, b)
+    got = {
+        int(r.doc_id): (int(r.dup_chunks), int(r.dup_bytes))
+        for r in out.itertuples()
+    }
+    assert got == want
