@@ -227,6 +227,25 @@ def q_doc_fingerprints(sf_dir: str) -> pa.Table:
     )
 
 
+def q_doc_fingerprints_mul(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprint with plain integer arithmetic (min over 8-byte
+    windows of big-endian-u64 * golden-ratio mod 2^64) so a DuckDB oracle
+    reproduces it exactly — the SQL-checkable twin of doc_fingerprints."""
+    from plakar_ray.pipelines.text import doc_fingerprints_mulhash
+
+    out = (
+        doc_fingerprints_mulhash(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "fingerprint64": pa.array(out["fingerprint64"], type=pa.uint64()),
+        }
+    )
+
+
 def q_token_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Exact distinct-token Jaccard for all doc pairs >= 0.5, via the
     prefix-filter set-similarity join (pipelines/setjoin.py) — exact pair
@@ -646,6 +665,7 @@ def queries():
         "token_stats_by_lang": q_token_stats_by_lang,
         "top_tokens": q_top_tokens,
         "doc_fingerprints": q_doc_fingerprints,
+        "doc_fingerprints_mul": q_doc_fingerprints_mul,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "events_window": q_events_window,
         "events_hopping_window": q_events_hopping_window,
@@ -769,6 +789,30 @@ def oracle_sql():
             GROUP BY token
             ORDER BY count DESC, token ASC
             LIMIT 20
+        """,
+        # wv < 2^63 because the corpus is pure ASCII (top window byte <=
+        # 0x7E), so wv * C < 2^127 stays inside DuckDB's signed HUGEINT.
+        "doc_fingerprints_mul": """
+            WITH w AS (
+              SELECT d.doc_id,
+                     (ord(substr(d.text, (g.i + 1)::INT, 1))::UBIGINT * 72057594037927936::UBIGINT
+                    + ord(substr(d.text, (g.i + 2)::INT, 1))::UBIGINT * 281474976710656::UBIGINT
+                    + ord(substr(d.text, (g.i + 3)::INT, 1))::UBIGINT * 1099511627776::UBIGINT
+                    + ord(substr(d.text, (g.i + 4)::INT, 1))::UBIGINT * 4294967296::UBIGINT
+                    + ord(substr(d.text, (g.i + 5)::INT, 1))::UBIGINT * 16777216::UBIGINT
+                    + ord(substr(d.text, (g.i + 6)::INT, 1))::UBIGINT * 65536::UBIGINT
+                    + ord(substr(d.text, (g.i + 7)::INT, 1))::UBIGINT * 256::UBIGINT
+                    + ord(substr(d.text, (g.i + 8)::INT, 1))::UBIGINT) AS wv
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(octet_length(d.text::BLOB) - 7)) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) >= 8
+            )
+            SELECT doc_id,
+                   min(((wv::HUGEINT * 11400714819323198485::HUGEINT)
+                        % 18446744073709551616::HUGEINT)::UBIGINT) AS fingerprint64
+            FROM w GROUP BY doc_id ORDER BY doc_id
         """,
         "token_jaccard_pairs": """
             WITH s AS (

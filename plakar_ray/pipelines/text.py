@@ -6,6 +6,7 @@ import pyarrow as pa
 
 from plakar_ray.stages.text import (
     FingerprintStage,
+    fingerprint_mulhash_batch,
     lang_id_batch,
     quality_batch,
     text_stats_batch,
@@ -17,6 +18,16 @@ def doc_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, n_chars, n_tokens, quality) — SQL-mirrorable."""
     return ds.map_batches(
         lambda b: quality_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def doc_fingerprints_mulhash(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, fingerprint64) — min multiplicative window hash, the
+    SQL-checkable twin of doc_fingerprints' gear variant."""
+    return ds.map_batches(
+        lambda b: fingerprint_mulhash_batch(b, id_col, text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

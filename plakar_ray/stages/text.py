@@ -112,6 +112,48 @@ def lang_id_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+_FP_MUL = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio constant
+
+
+def fingerprint_mulhash_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> pa.Table:
+    """SQL-checkable winnowing fingerprint: the document fingerprint is the
+    MINIMUM over all `window`-byte windows of (window-bytes-as-big-endian-u64
+    * golden-ratio constant mod 2^64). Same content-defined-sketch semantics
+    as FingerprintStage's gear variant, but every step is plain integer
+    arithmetic a DuckDB oracle reproduces exactly (ord/shift/multiply/mod).
+
+    Docs shorter than `window` use their bytes zero-padded on the right;
+    empty docs fingerprint to 0. Fully vectorized: 8 shift-or passes build
+    every window value at once, one multiply, one min."""
+    data, offsets = byte_views(batch.column(text_col))
+    n = len(batch)
+    fps = np.zeros(n, dtype=np.uint64)
+    u = data.astype(np.uint64)
+    for i in range(n):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        ln = hi - lo
+        if ln == 0:
+            continue
+        if ln < window:
+            pad = np.zeros(window, dtype=np.uint64)
+            pad[:ln] = u[lo:hi]
+            doc, ln = pad, window
+        else:
+            doc = u[lo:hi]
+        acc = doc[: ln - window + 1].copy()
+        for k in range(1, window):
+            acc = (acc << np.uint64(8)) | doc[k : ln - window + 1 + k]
+        fps[i] = (acc * _FP_MUL).min()
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "fingerprint64": pa.array(fps, type=pa.uint64()),
+        }
+    )
+
+
 class FingerprintStage:
     """Winnowing-style document fingerprint: gear rolling hash over bytes
     (window w=8), then the document fingerprint is the minimum window hash —

@@ -49,7 +49,8 @@ def test_entry_runs(ray_session):
 # A fast representative subset; the full set is exercised by
 # tools/check_oracle.py and the driver itself.
 SUBSET = ["doc_text_stats", "lang_id", "top_tokens", "events_window",
-          "exact_dup_groups", "embedding_topk", "chunk_fixed_stats"]
+          "exact_dup_groups", "embedding_topk", "chunk_fixed_stats",
+          "doc_fingerprints_mul"]
 
 
 @pytest.mark.parametrize("name", SUBSET)

@@ -384,3 +384,34 @@ def test_cross_doc_dup_bytes_cdc_catches_unaligned(ray_session):
         for r in out.itertuples()
     }
     assert got == want
+
+
+def test_fingerprint_mulhash_matches_scalar_oracle():
+    """Pure batch kernel (no Ray): min multiplicative window hash equals a
+    scalar big-endian int oracle; <8-byte docs zero-pad, empty docs -> 0."""
+    from plakar_ray.stages.text import fingerprint_mulhash_batch
+
+    C, M = 0x9E3779B97F4A7C15, (1 << 64) - 1
+    rng = np.random.default_rng(3)
+    texts = [
+        "",
+        "abc",
+        "abcdefgh",
+        "".join(chr(97 + c) for c in rng.integers(0, 26, 500)),
+        "".join(chr(32 + c) for c in rng.integers(0, 95, 1000)),
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = fingerprint_mulhash_batch(batch)
+    got = out.column("fingerprint64").to_pylist()
+
+    def scalar(t):
+        b = t.encode()
+        if not b:
+            return 0
+        if len(b) < 8:
+            b = b + b"\0" * (8 - len(b))
+        return min((int.from_bytes(b[i : i + 8], "big") * C) & M for i in range(len(b) - 7))
+
+    assert got == [scalar(t) for t in texts]
