@@ -155,31 +155,42 @@ def asof_join(
     right_ref = ray.put(index)
 
     def apply(batch: pa.Table) -> pa.Table:
+        # Vectorized resolve: sort the batch by (key, ts), then one
+        # searchsorted + gather per distinct KEY RUN (not per row).
         idx = ray.get(right_ref)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = keys.shape[0]
         match_ts = np.full(n, -1, dtype=np.int64)
-        cols_out = {c: [None] * n for c in value_cols}
-        for i in range(n):
-            ent = idx.get(int(keys[i]))
+        out_vals = {c: np.full(n, np.nan, dtype=np.float64) for c in value_cols}
+        order = np.lexsort((ts, keys))
+        sk = keys[order]
+        runs = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1]))) if n else np.empty(0, np.int64)
+        bounds = np.concatenate((runs, [n]))
+        for ri in range(len(runs)):
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            ent = idx.get(int(sk[s]))
             if ent is None:
                 continue
             t_arr, vals = ent
-            j = int(np.searchsorted(t_arr, ts[i], side="right")) - 1
-            if j >= 0:
-                match_ts[i] = t_arr[j]
-                for c in value_cols:
-                    cols_out[c][i] = vals[c][j].item()
-        out = batch
-        out = out.append_column(
+            rows = order[s:e]
+            j = np.searchsorted(t_arr, ts[rows], side="right") - 1
+            ok = j >= 0
+            rr, jj = rows[ok], j[ok]
+            match_ts[rr] = t_arr[jj]
+            for c in value_cols:
+                out_vals[c][rr] = vals[c][jj]
+        miss = match_ts < 0
+        out = batch.append_column(
             prefix + "ts",
-            pa.array(
-                [int(t) if t >= 0 else None for t in match_ts.tolist()], type=pa.int64()
-            ).cast(pa.timestamp("us")),
+            pa.array(np.where(miss, 0, match_ts), type=pa.int64(), mask=miss).cast(
+                pa.timestamp("us")
+            ),
         )
         for c in value_cols:
-            out = out.append_column(prefix + c, pa.array(cols_out[c], type=pa.float64()))
+            out = out.append_column(
+                prefix + c, pa.array(out_vals[c], type=pa.float64(), mask=miss)
+            )
         return out
 
     return left_ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
