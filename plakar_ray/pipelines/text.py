@@ -106,12 +106,30 @@ def top_tokens(ds, k: int = 20, text_col: str = "text") -> pa.Table:
     """Top-k most frequent lowercased tokens. Map-side combining (per-batch
     partial counts) keeps the shuffle proportional to vocabulary, not corpus.
     Deterministic order: count desc, token asc."""
+    import pyarrow.compute as pc
+
     parts = ds.map_batches(
         lambda b: token_explode_batch(b, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    totals = parts.groupby("token").sum("partial").to_pandas()
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # After the token groupby each token lives in exactly one block, so
+        # the global top-k is a subset of the union of per-block top-ks —
+        # only k rows per block ever reach the driver, never the vocabulary.
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("sum(partial)", "descending"), ("token", "ascending")],
+        )
+        return t.take(order[:k])
+
+    totals = (
+        parts.groupby("token")
+        .sum("partial")
+        .map_batches(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
     totals = totals.rename(columns={"sum(partial)": "count"})
     totals = totals.sort_values(["count", "token"], ascending=[False, True]).head(k)
     return pa.table(
