@@ -415,3 +415,31 @@ def test_fingerprint_mulhash_matches_scalar_oracle():
         return min((int.from_bytes(b[i : i + 8], "big") * C) & M for i in range(len(b) - 7))
 
     assert got == [scalar(t) for t in texts]
+
+
+def test_lsh_pre_exchange_compaction_same_edges(ray_session, fixture_pages):
+    """The tiny-block coalescing pass before the band exchange must not
+    change the candidate edge set: run the distributed path over signatures
+    split into many 1-row blocks (forces compaction on a 4-cpu session) and
+    over the same table in a handful of blocks, and compare edges."""
+    import ray.data
+
+    from plakar_ray.stages.lsh import candidate_pairs
+    from plakar_ray.stages.minhash import minhash_signatures
+
+    pages, _ = fixture_pages
+    sigs = minhash_signatures(
+        _ds(pages), "fastcdc-v1.0.0", SMALL, num_perm=96, id_col="page_id"
+    ).materialize()
+    import ray as _ray
+
+    tbl = pa.concat_tables([_ray.get(r) for r in sigs.to_arrow_refs()])
+
+    def edge_set(ds):
+        e = candidate_pairs(ds, bands=32, id_col="page_id", local_threshold=0)
+        df = e.to_pandas()
+        return set(zip(df["id_a"].tolist(), df["id_b"].tolist()))
+
+    many = ray.data.from_arrow(tbl).repartition(tbl.num_rows)  # 1-row blocks
+    few = ray.data.from_arrow(tbl).repartition(4)
+    assert edge_set(many) == edge_set(few)
