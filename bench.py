@@ -95,6 +95,14 @@ class RssSampler:
             "procs": self.peak_procs,
         }
 
+def _cpu_stat():
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal is the
+    dominant noise source on this shared VM (observed 0-26% between runs)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 CORPUS_DOCS = int(os.environ.get("BENCH_DOCS", "256"))
 DOC_BYTES = int(os.environ.get("BENCH_DOC_BYTES", str(4 * 1024 * 1024)))
 # Fraction of docs that are near-duplicate mutations of a cluster base doc
@@ -283,6 +291,7 @@ def bench_queries(sf_dir: str) -> dict:
 
 def run_once(mode: str) -> dict:
     _init_ray(NUM_CPUS)
+    st0, tot0 = _cpu_stat()
     result: dict = {"sf": SF_DIR, "num_cpus": NUM_CPUS}
     corpus = synthetic_corpus(NUM_CPUS)
     # testing.B-style: a warm pass, then best-of-N timed runs (shared-host
@@ -301,6 +310,8 @@ def run_once(mode: str) -> dict:
     if mode == "full":
         result["algos"] = bench_algos(corpus, NUM_CPUS)
         result["queries"] = bench_queries(SF_DIR)
+    st1, tot1 = _cpu_stat()
+    result["steal_pct"] = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
     import ray
 
     ray.shutdown()
@@ -365,6 +376,8 @@ def main():
                 "minhash_efficiency": round(m32 / (4 * m8), 3),
                 f"peak_rss_total_mb_{ns[0]}cpu": results[ns[0]]["chunking"]["peak_rss_total_mb"],
                 f"peak_rss_total_mb_{ns[1]}cpu": results[ns[1]]["chunking"]["peak_rss_total_mb"],
+                f"steal_pct_{ns[0]}cpu": results[ns[0]].get("steal_pct", 0.0),
+                f"steal_pct_{ns[1]}cpu": results[ns[1]].get("steal_pct", 0.0),
             },
         }
         print(json.dumps(out))
