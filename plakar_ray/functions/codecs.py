@@ -1,0 +1,233 @@
+"""Pure-numpy codecs for uncompressed media formats.
+
+The sandbox has no PIL/ffmpeg/soundfile, but uncompressed container formats
+need no library — their payloads are a header plus a raw sample array, which
+numpy decodes directly:
+
+* PPM (P6) / PGM (P5): netpbm binary images, 8-bit, 1 or 3 channels.
+* BMP: Windows bitmaps, BI_RGB (uncompressed) 8/24/32-bit, bottom-up or
+  top-down rows.
+* WAV: RIFF/WAVE with PCM (format 1) 8/16/32-bit or IEEE-float (format 3)
+  samples.
+
+These make the media stages' strict path REAL for uncompressed inputs;
+compressed formats (JPEG/PNG/MP3/...) remain gated behind optional libraries
+(PIL is probed at stage init) because decoding them without one is out of
+scope. Encoders exist so tests can round-trip deterministic fixtures.
+
+All decoders take a 1-D uint8 numpy view (zero-copy from an Arrow binary
+column) and raise ValueError on malformed input.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- sniffing
+
+
+def sniff(buf: np.ndarray) -> str:
+    """Identify a payload's container format from magic bytes.
+
+    Returns one of 'ppm', 'pgm', 'bmp', 'wav', 'jpeg', 'png', or 'unknown'.
+    """
+    n = buf.shape[0]
+    if n >= 2 and buf[0] == 0x50:  # 'P'
+        if buf[1] == 0x36:
+            return "ppm"
+        if buf[1] == 0x35:
+            return "pgm"
+    if n >= 2 and buf[0] == 0x42 and buf[1] == 0x4D:  # 'BM'
+        return "bmp"
+    if (
+        n >= 12
+        and bytes(buf[:4]) == b"RIFF"
+        and bytes(buf[8:12]) == b"WAVE"
+    ):
+        return "wav"
+    if n >= 3 and buf[0] == 0xFF and buf[1] == 0xD8 and buf[2] == 0xFF:
+        return "jpeg"
+    if n >= 8 and bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+DECODABLE_IMAGE = frozenset({"ppm", "pgm", "bmp"})
+DECODABLE_AUDIO = frozenset({"wav"})
+
+# ----------------------------------------------------------------- netpbm
+
+
+def _pnm_header(buf: np.ndarray, n_fields: int) -> tuple[list[int], int]:
+    """Parse n_fields whitespace-separated ints after the magic, skipping
+    '#' comments; returns (fields, offset_of_raster)."""
+    fields: list[int] = []
+    i = 2  # past magic
+    n = buf.shape[0]
+    while len(fields) < n_fields:
+        while i < n and (buf[i] in (0x20, 0x09, 0x0A, 0x0D) or buf[i] == 0x23):
+            if buf[i] == 0x23:  # comment to end of line
+                while i < n and buf[i] != 0x0A:
+                    i += 1
+            i += 1
+        j = i
+        while j < n and buf[j] not in (0x20, 0x09, 0x0A, 0x0D):
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        fields.append(int(bytes(buf[i:j])))
+        i = j
+    if i >= n:
+        raise ValueError("truncated PNM header")
+    return fields, i + 1  # single whitespace byte separates header and raster
+
+
+def decode_pnm(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+    """P6 (RGB) / P5 (gray) binary netpbm -> (width, height, channels,
+    pixels[h, w, c] uint8). Only maxval <= 255 (1 byte/sample) supported."""
+    kind = sniff(buf)
+    if kind not in ("ppm", "pgm"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if kind == "ppm" else 1
+    (width, height, maxval), off = _pnm_header(buf, 3)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    need = width * height * channels
+    raster = buf[off : off + need]
+    if raster.shape[0] < need:
+        raise ValueError("truncated PNM raster")
+    return width, height, channels, raster.reshape(height, width, channels)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """pixels[h, w, 3] or [h, w] uint8 -> P6/P5 bytes (test fixtures)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        magic, h, w = b"P5", px.shape[0], px.shape[1]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        magic, h, w = b"P6", px.shape[0], px.shape[1]
+    elif px.ndim == 3 and px.shape[2] == 1:
+        magic, h, w = b"P5", px.shape[0], px.shape[1]
+    else:
+        raise ValueError("expected [h,w], [h,w,1] or [h,w,3] uint8")
+    return magic + b"\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+# -------------------------------------------------------------------- BMP
+
+
+def decode_bmp(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+    """Uncompressed (BI_RGB) 8/24/32-bit BMP -> (width, height, channels,
+    pixels[h, w, c] uint8, rows top-down, BGR->RGB swapped)."""
+    if sniff(buf) != "bmp":
+        raise ValueError("not a BMP payload")
+    if buf.shape[0] < 54:
+        raise ValueError("truncated BMP header")
+    head = bytes(buf[:54])
+    data_off = struct.unpack_from("<I", head, 10)[0]
+    hdr_size = struct.unpack_from("<I", head, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    width, height_raw = struct.unpack_from("<ii", head, 18)
+    bpp = struct.unpack_from("<H", head, 28)[0]
+    compression = struct.unpack_from("<I", head, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"{bpp}-bit BMP not supported")
+    top_down = height_raw < 0
+    height = abs(height_raw)
+    channels = bpp // 8
+    stride = (width * channels + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + stride * height
+    if buf.shape[0] < need:
+        raise ValueError("truncated BMP raster")
+    rows = buf[data_off : data_off + stride * height].reshape(height, stride)
+    px = rows[:, : width * channels].reshape(height, width, channels)
+    if not top_down:
+        px = px[::-1]
+    if channels >= 3:  # BGR(A) -> RGB(A)
+        px = px[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    return width, height, channels, np.ascontiguousarray(px)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """pixels[h, w, 3] uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected [h,w,3] uint8 RGB")
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, : w * 3] = px[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    data = raster.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+# -------------------------------------------------------------------- WAV
+
+
+def decode_wav(buf: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM or IEEE-float -> (sample_rate, channels,
+    samples[n, channels] float64 in [-1, 1])."""
+    if sniff(buf) != "wav":
+        raise ValueError("not a RIFF/WAVE payload")
+    n = buf.shape[0]
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = bytes(buf[pos : pos + 4])
+        csize = struct.unpack("<I", bytes(buf[pos + 4 : pos + 8]))[0]
+        body = buf[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", bytes(body[:16]))
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if channels < 1:
+        raise ValueError("invalid channel count")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            samples = (data.astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            samples = (
+                data[: data.shape[0] & ~1].view(np.int16).astype(np.float64) / 32768.0
+            )
+        elif bits == 32:
+            samples = (
+                data[: data.shape[0] & ~3].view(np.int32).astype(np.float64)
+                / 2147483648.0
+            )
+        else:
+            raise ValueError(f"{bits}-bit PCM not supported")
+    elif audio_fmt == 3 and bits == 32:  # IEEE float
+        samples = data[: data.shape[0] & ~3].view(np.float32).astype(np.float64)
+    else:
+        raise ValueError(f"WAV format {audio_fmt}/{bits}-bit not supported")
+    frames = samples.shape[0] // channels
+    return rate, channels, samples[: frames * channels].reshape(frames, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """samples[n] or [n, c] float in [-1, 1] -> 16-bit PCM WAV bytes."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -1,13 +1,17 @@
-"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages — real Ray plumbing, real codecs
+for uncompressed formats, gated stubs for compressed ones.
 
 Media travel as opaque `binary` payload columns with typed metadata, decoded
-and featurized inside actor-pool map_batches stages. This container has no
-image/audio libraries, so the codec step is gated:
+and featurized inside actor-pool map_batches stages. Payload format is
+sniffed per row (functions/codecs.sniff):
 
-* strict=True  -> raise NotImplementedError (the honest production stub)
-* strict=False -> deterministic fake decode (byte-histogram features, sizes
-  derived from payload), so schemas, batch sizing, actor lifecycle and
-  downstream layout are fully testable.
+* PPM/PGM/BMP images and RIFF PCM WAV audio decode for REAL with the
+  pure-numpy codecs in `plakar_ray.functions.codecs` — no library needed.
+* Compressed formats (JPEG/PNG/...) use PIL when importable; otherwise
+  strict=True raises NotImplementedError (the honest production gate) and
+  strict=False substitutes a deterministic fake decode (byte-histogram
+  features, sizes derived from a payload hash) so schemas, batch sizing,
+  actor lifecycle and downstream layout stay fully testable.
 
 Batch sizes for media must be SMALL (payloads are large): callers pass
 batch_size explicitly; helpers default to 16 rows per batch.
@@ -20,6 +24,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from plakar_ray.functions import codecs
 from plakar_ray.functions.arrowbytes import byte_views
 
 
@@ -36,9 +41,11 @@ class DecodeImageStage:
     """(media_id, payload) -> (media_id, width, height, channels,
     feat: fixed_size_list<float>(16)).
 
-    Real decode requires PIL (absent here); the deterministic fake derives
-    dimensions from a payload hash and features from the byte histogram —
-    stable across runs and processes.
+    PPM/PGM/BMP payloads decode for real (pure-numpy codecs); compressed
+    formats decode via PIL when available, else the strict gate / fake
+    applies. feat is the normalized 16-bin intensity histogram of the
+    decoded pixels (of the raw payload bytes on the fake path) — stable
+    across runs and processes.
     """
 
     FEAT_DIM = 16
@@ -59,12 +66,43 @@ class DecodeImageStage:
         total = max(hist.sum(), 1.0)
         return width, height, channels, hist / total
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict and not self.has_pil:
+    @staticmethod
+    def _pixel_feat(px: np.ndarray) -> np.ndarray:
+        hist = np.bincount(
+            (px.reshape(-1) >> 4).astype(np.intp), minlength=16
+        ).astype(np.float64)
+        return hist / max(hist.sum(), 1.0)
+
+    def _pil_decode(self, payload: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload.tobytes()))
+        px = np.asarray(img.convert("RGB") if img.mode == "P" else img)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        return px.shape[1], px.shape[0], px.shape[2], self._pixel_feat(px)
+
+    def _decode(self, payload: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+        kind = codecs.sniff(payload)
+        if kind in ("ppm", "pgm"):
+            w, h, c, px = codecs.decode_pnm(payload)
+            return w, h, c, self._pixel_feat(px)
+        if kind == "bmp":
+            w, h, c, px = codecs.decode_bmp(payload)
+            return w, h, c, self._pixel_feat(px)
+        if self.has_pil and kind in ("jpeg", "png"):
+            return self._pil_decode(payload)
+        if self.strict:
             raise NotImplementedError(
-                "image decode needs PIL (not in this environment); "
+                f"image decode for format {kind!r} needs PIL (not in this "
+                "environment); uncompressed PPM/PGM/BMP decode natively, or "
                 "run with strict=False for the deterministic fake"
             )
+        return self._fake_decode(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = byte_views(batch.column(self.payload_col))
         n = len(batch)
         w = np.empty(n, np.int32)
@@ -73,7 +111,7 @@ class DecodeImageStage:
         feats = np.zeros((n, self.FEAT_DIM), np.float64)
         for i in range(n):
             payload = data[offsets[i] : offsets[i + 1]]
-            w[i], hgt[i], c[i], feats[i] = self._fake_decode(payload)
+            w[i], hgt[i], c[i], feats[i] = self._decode(payload)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
@@ -88,8 +126,12 @@ class DecodeImageStage:
 
 
 class AudioFeatureStage:
-    """(media_id, payload) -> (media_id, n_samples, feat(8)): fake 'MFCC'
-    from windowed byte statistics; same gating contract as images."""
+    """(media_id, payload) -> (media_id, n_samples, feat(8)).
+
+    RIFF PCM WAV payloads decode for real (pure-numpy): n_samples is the
+    true frame count and feat holds FEAT_DIM windowed RMS energies of the
+    mono mix. Other formats fall back to the strict gate / fake windowed
+    byte means (same gating contract as images)."""
 
     FEAT_DIM = 8
 
@@ -99,19 +141,36 @@ class AudioFeatureStage:
         self.payload_col = payload_col
         self.strict = strict
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode(self, payload: np.ndarray) -> tuple[int, np.ndarray]:
+        if codecs.sniff(payload) == "wav":
+            _, _, samples = codecs.decode_wav(payload)
+            mono = samples.mean(axis=1)
+            feat = np.zeros(self.FEAT_DIM)
+            if mono.shape[0]:
+                parts = np.array_split(mono, self.FEAT_DIM)
+                feat = np.array(
+                    [np.sqrt(np.mean(p * p)) if p.size else 0.0 for p in parts]
+                )
+            return mono.shape[0], feat
         if self.strict:
-            raise NotImplementedError("audio decode needs an audio lib; strict=False for fake")
+            raise NotImplementedError(
+                "audio decode for this format needs an audio lib; RIFF PCM "
+                "WAV decodes natively, or run with strict=False for the fake"
+            )
+        raw = payload.astype(np.float64)
+        feat = np.zeros(self.FEAT_DIM)
+        if raw.shape[0]:
+            parts = np.array_split(raw, self.FEAT_DIM)
+            feat = np.array([p.mean() if p.size else 0.0 for p in parts])
+        return raw.shape[0], feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = byte_views(batch.column(self.payload_col))
         n = len(batch)
         ns = np.empty(n, np.int64)
         feats = np.zeros((n, self.FEAT_DIM), np.float64)
         for i in range(n):
-            payload = data[offsets[i] : offsets[i + 1]].astype(np.float64)
-            ns[i] = payload.shape[0]
-            if payload.shape[0]:
-                parts = np.array_split(payload, self.FEAT_DIM)
-                feats[i] = [p.mean() if p.size else 0.0 for p in parts]
+            ns[i], feats[i] = self._decode(data[offsets[i] : offsets[i + 1]])
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

@@ -193,3 +193,93 @@ def test_cli_compare_resync_cluster(ray_session, tmp_path, capsys):
     cl = pq.read_table(outp)
     # duplicated corpus: every doc pairs with its twin
     assert cl.num_rows == 20
+
+
+# ---------------------------------------------------------- real codecs
+
+
+def test_codec_roundtrips():
+    """Pure-numpy codecs: encode -> decode is exact for PPM/BMP/WAV."""
+    from plakar_ray.functions import codecs
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    for enc, dec in [(codecs.encode_ppm, codecs.decode_pnm),
+                     (codecs.encode_bmp, codecs.decode_bmp)]:
+        buf = np.frombuffer(enc(px), dtype=np.uint8)
+        w, h, c, out = dec(buf)
+        assert (w, h, c) == (17, 13, 3)
+        assert (out == px).all()
+    # grayscale PGM
+    gray = rng.integers(0, 256, (9, 21), dtype=np.uint8)
+    w, h, c, out = codecs.decode_pnm(
+        np.frombuffer(codecs.encode_ppm(gray), dtype=np.uint8))
+    assert (w, h, c) == (21, 9, 1)
+    assert (out[:, :, 0] == gray).all()
+    # PPM comment + multi-whitespace header parses
+    hdr = b"P6 # comment\n# another\n 17\t13\n255\n" + px.tobytes()
+    w, h, c, out = codecs.decode_pnm(np.frombuffer(hdr, dtype=np.uint8))
+    assert (w, h, c) == (17, 13, 3) and (out == px).all()
+    # WAV: 16-bit stereo PCM round-trip within quantization error
+    s = rng.uniform(-0.9, 0.9, (500, 2))
+    rate, ch, out = codecs.decode_wav(
+        np.frombuffer(codecs.encode_wav(s, rate=8000), dtype=np.uint8))
+    assert (rate, ch) == (8000, 2) and out.shape == (500, 2)
+    # encode scales by 32767, decode by 32768 -> error bound ~2/32768
+    assert np.abs(out - s).max() < 2.5 / 32768
+    # sniffing rejects junk
+    assert codecs.sniff(np.frombuffer(b"\xff\xd8\xffjunk", np.uint8)) == "jpeg"
+    assert codecs.sniff(rng.integers(0, 10, 64).astype(np.uint8)) == "unknown"
+
+
+def test_media_real_decode_strict(ray_session):
+    """Uncompressed payloads decode for REAL through the strict stages; a
+    compressed (jpeg-magic) payload still hits the honest gate."""
+    import ray.data
+
+    from plakar_ray.functions import codecs
+    from plakar_ray.stages.media import AudioFeatureStage, DecodeImageStage, decode_images
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(24, 32), (10, 50), (64, 8)]]
+    payloads = [codecs.encode_ppm(imgs[0]), codecs.encode_bmp(imgs[1]),
+                codecs.encode_ppm(imgs[2][:, :, 0])]
+    t = pa.table({
+        "media_id": pa.array(range(3), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+    })
+    out = (decode_images(ray.data.from_arrow(t), batch_size=2, strict=True)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert list(out.width) == [32, 50, 8]
+    assert list(out.height) == [24, 10, 64]
+    assert list(out.channels) == [3, 3, 1]
+    # feat is the real pixel histogram, identical for the same image in
+    # either container format
+    ppm_feat = DecodeImageStage(strict=True)(pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "payload": pa.array([codecs.encode_ppm(imgs[1])], type=pa.binary()),
+    })).column("feat").to_pylist()[0]
+    assert np.allclose(ppm_feat, list(out.feat[1]))
+    # strict still gates compressed formats
+    jpeg = pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "payload": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], type=pa.binary()),
+    })
+    if not DecodeImageStage(strict=True).has_pil:
+        with pytest.raises(NotImplementedError):
+            DecodeImageStage(strict=True)(jpeg)
+
+    # audio: real WAV frame count + RMS features under strict
+    tone = np.sin(np.linspace(0, 40 * np.pi, 1600))
+    wav = pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "payload": pa.array([codecs.encode_wav(tone)], type=pa.binary()),
+    })
+    a = AudioFeatureStage(strict=True)(wav)
+    assert a.column("n_samples").to_pylist() == [1600]
+    feat = np.array(a.column("feat").to_pylist()[0])
+    # RMS of a full-scale sine is ~0.707 in every window
+    assert np.allclose(feat, 0.707, atol=0.01)
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(strict=True)(jpeg.rename_columns(["media_id", "payload"]))
