@@ -15,6 +15,7 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,11 +35,24 @@ def main():
     steal_gate = float(os.environ.get("STEAL_GATE_PCT", "10"))
 
     def is_contended(r):
-        s = max(
-            (v for k, v in r["queries"].items() if k.startswith("steal_pct")),
-            default=0.0,
-        )
-        return s > steal_gate
+        # Pre-gate rows without steal instrumentation can't prove they were
+        # clean — treat them as contended so the headline only carries
+        # steal-verified runs.
+        vals = [v for k, v in r["queries"].items() if k.startswith("steal_pct")]
+        if not vals:
+            return True
+        return max(vals) > steal_gate
+
+    def preflight_steal(sample_s: float = 10.0) -> float:
+        """Current host steal%, sampled before burning a 15-min attempt."""
+        def snap():
+            with open("/proc/stat") as f:
+                v = [int(x) for x in f.readline().split()[1:]]
+            return (v[7] if len(v) > 7 else 0), sum(v)
+        s0, t0 = snap()
+        time.sleep(sample_s)
+        s1, t1 = snap()
+        return 100.0 * (s1 - s0) / max(t1 - t0, 1)
 
     runs = []
     if os.path.exists(raw_path):
@@ -46,6 +60,16 @@ def main():
             runs = [json.loads(l) for l in f if l.strip()]
     attempts, ok_new = 0, 0
     while ok_new < n_runs and attempts < 2 * n_runs:
+        # Wait for a calm host (up to 30 min per attempt) instead of
+        # spending 15 min measuring the neighbor's load.
+        waited = 0.0
+        while waited < 1800:
+            s = preflight_steal()
+            if s <= steal_gate:
+                break
+            print(f"preflight steal {s:.1f}% > {steal_gate}%, waiting...", flush=True)
+            time.sleep(110)
+            waited += 120
         attempts += 1
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
