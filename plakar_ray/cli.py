@@ -6,9 +6,12 @@ Usage:
     python -m plakar_ray.cli compare  --input PATH --a fastcdc --b ultracdc [...]
     python -m plakar_ray.cli resync   --input PATH --algo fastcdc [--edits 16 --edit-size 1 --seed 1]
     python -m plakar_ray.cli cluster  --input PATH [--num-perm 192 --bands 64 --salt 0]
+    python -m plakar_ray.cli plot     --input PATH [--out DIR] [--algos a,b,c]
 
 Owns its Ray session (guarded init, shutdown at exit); the size flags follow
-cmd/cdc/stats.go:42-47 defaults (2K/8K/64K).
+cmd/cdc/stats.go:42-47 defaults (2K/8K/64K). `plot` renders the cdcplot
+figure set (histogram/CDF/dedup-sweep/resync) as SVGs — cmd/cdcplot/main.go
+parity without a plotting library.
 """
 
 from __future__ import annotations
@@ -64,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--bands", type=int, default=64)
     sp.add_argument("--salt", type=int, default=0)
     sp.add_argument("--out", default="")
+    sp = sub.add_parser("plot")
+    common(sp)
+    sp.add_argument("--out", default="/tmp/plakar_plots")
+    sp.add_argument("--algos", default="fastcdc,jc,ultracdc")
+    sp.add_argument("--hist-algo", default="")
 
     args = p.parse_args(argv)
 
@@ -119,6 +127,14 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {t.num_rows} rows to {args.out}")
             else:
                 print(t.to_pandas().to_string(index=False))
+        elif args.cmd == "plot":
+            from plakar_ray.pipelines.plots import render_figures
+
+            for path in render_figures(
+                lambda: _read(args), args.out, args.algos.split(","),
+                args.hist_algo or args.algos.split(",")[0], _opts(args),
+            ):
+                print("wrote", path)
     finally:
         if owns_session:
             ray.shutdown()

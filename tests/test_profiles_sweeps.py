@@ -1,6 +1,7 @@
 """Profile oracle (GenerateProfile/MatchProfile parity), sweep pipelines,
 batch-slicing equivalence, and hypothesis property tests."""
 
+import os
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -119,3 +120,64 @@ def test_kernel_oracle_property(algo, n, seed, profile, pattern):
         data = (b"abcab" * (n // 5 + 1))[:n]
     opts = ChunkerOpts(profile[0], profile[1], profile[2])
     assert chunk_lengths(algo, data, opts).tolist() == chunk_lengths_oracle(algo, data, opts)
+
+
+def test_svgplot_renders_valid_svg():
+    """Pure-SVG chart helpers: valid XML, fixed categorical order, marks."""
+    import xml.etree.ElementTree as ET
+
+    from plakar_ray.functions import svgplot
+
+    svg = svgplot.bar_chart("Hist", "len", "count",
+                            [0, 10, 20], [10, 20, 30], [5, 0, 9])
+    root = ET.fromstring(svg)
+    ns = "{http://www.w3.org/2000/svg}"
+    bars = [r for r in root.iter(f"{ns}rect")
+            if r.get("fill") == svgplot.SEQUENTIAL]
+    assert len(bars) == 2  # zero-count bucket draws no bar
+    # bars are baseline-anchored: y + height == baseline for both
+    base = {round(float(b.get("y")) + float(b.get("height")), 1) for b in bars}
+    assert len(base) == 1
+
+    series = {"fastcdc": ([0, 1, 2], [0.9, 0.8, 0.7]),
+              "jc": ([0, 1, 2], [0.95, 0.85, 0.75]),
+              "ultracdc": ([0, 1, 2], [0.97, 0.9, 0.8])}
+    svg2 = svgplot.line_chart("Resync", "edits", "shared", series)
+    root2 = ET.fromstring(svg2)
+    lines = [p.get("stroke") for p in root2.iter(f"{ns}polyline")]
+    # fixed categorical assignment in declaration order, never cycled
+    assert lines == svgplot.CATEGORICAL[:3]
+    texts = [t.text for t in root2.iter(f"{ns}text")]
+    assert {"fastcdc", "jc", "ultracdc"} <= set(texts)  # legend + end labels
+    # hoverable markers carry value tooltips
+    assert sum(1 for _ in root2.iter(f"{ns}circle")) == 9
+    # single-series chart: no legend, sequential hue
+    svg3 = svgplot.line_chart("CDF", "len", "frac", {"a": ([0, 1], [0.1, 1.0])})
+    assert svgplot.CATEGORICAL[1] not in svg3
+    assert svgplot.SEQUENTIAL in svg3
+
+
+def test_render_figures(ray_session, tmp_path):
+    """The cdcplot SVG figure set renders end-to-end from a Dataset."""
+    import xml.etree.ElementTree as ET
+
+    import ray.data
+
+    from plakar_ray.pipelines.plots import render_figures
+
+    texts = ["".join(chr(97 + c) for c in _rng.integers(0, 26, 3000)) for _ in range(8)]
+    table = pa.table(
+        {"doc_id": pa.array(range(16), type=pa.int64()), "text": pa.array(texts + texts)}
+    )
+    paths = render_figures(
+        lambda: ray.data.from_arrow(table), str(tmp_path),
+        algos=["fastcdc-v1.0.0", "ultracdc"], hist_algo="fastcdc-v1.0.0",
+        opts=ChunkerOpts(64, 2048, 256), sweep_avgs=[256, 1024],
+        resync_edits=[0, 8],
+    )
+    assert sorted(os.path.basename(p) for p in paths) == [
+        "chunk_length_cdf.svg", "chunk_length_hist.svg",
+        "dedup_ratio_sweep.svg", "resync_curve.svg",
+    ]
+    for p in paths:
+        ET.parse(p)  # every artifact is valid XML
