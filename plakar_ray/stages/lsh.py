@@ -302,7 +302,12 @@ def candidate_pairs(
         if nb > 4 * cpus and size / max(nb, 1) < (8 << 20):
             target = max(2 * cpus, int(size // (64 << 20)))
             if target < nb:
-                sig_ds = sig_ds.repartition(target).materialize()
+                # Streaming coalesce — no materialize barrier: the input is
+                # already checkpointed above, so re-execution cost is one
+                # read of the small signature table, and skipping the extra
+                # object-store copy removes a synchronous pass from the
+                # exchange tail.
+                sig_ds = sig_ds.repartition(target)
     # Stateless task-pool stages: Band explode and per-partition grouping
     # hold no state worth an actor pool, and task pools skip the actor
     # startup cost that dominated the exchange tail (measured 11.9 -> 7.5 s).
