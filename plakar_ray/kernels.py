@@ -22,6 +22,13 @@ Vectorization strategy (differential-tested against plakar_ray.oracle):
 
 No Python loop ever iterates bytes in steady state; loops iterate chunks and
 sparse candidate/event lists only.
+
+Measured dead end (do not retry): a uint32 prefilter scan (window hash mod
+2^32, 5 doubling passes over half-width data, then exact u64 verify of the
+survivors via an (m, 64) gather matrix) is 0.57-0.60x the u64 scan for both
+fastcdc-legacy and jc-legacy. Every registry premask has only ~6 low-32 bits
+(1/64 selectivity), so the sparse verify touches one 64-wide window per 64
+positions — the same memory traffic the narrower scan saved.
 """
 
 from __future__ import annotations
