@@ -102,17 +102,47 @@ def token_stats_by_lang(ds, lang_col: str = "lang", text_col: str = "text") -> p
     )
 
 
-def top_tokens(ds, k: int = 20, text_col: str = "text") -> pa.Table:
+def top_tokens(
+    ds, k: int = 20, text_col: str = "text", local_threshold: int = 100_000
+) -> pa.Table:
     """Top-k most frequent lowercased tokens. Map-side combining (per-batch
     partial counts) keeps the shuffle proportional to vocabulary, not corpus.
-    Deterministic order: count desc, token asc."""
+    Deterministic order: count desc, token asc.
+
+    Partial-count tables at or under `local_threshold` rows (vocab x blocks,
+    tiny after combining) are summed on the driver — same size-gated fast
+    path as stages/lsh.py / stages/simhash.py, identical results; a
+    web-scale vocabulary takes the distributed token groupby where each
+    block contributes only its per-block top-k to the driver."""
     import pyarrow.compute as pc
 
     parts = ds.map_batches(
         lambda b: token_explode_batch(b, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+
+    if local_threshold and parts.count() <= local_threshold:
+        tables = [b for b in parts.iter_batches(batch_format="pyarrow") if len(b)]
+        merged = (
+            pa.concat_tables(tables)
+            if tables
+            else pa.table({"token": pa.array([], type=pa.string()),
+                           "partial": pa.array([], type=pa.int64())})
+        )
+        totals = (
+            merged.group_by("token").aggregate([("partial", "sum")]).to_pandas()
+        )
+        totals = totals.rename(columns={"partial_sum": "count"})
+        totals = totals.sort_values(
+            ["count", "token"], ascending=[False, True]
+        ).head(k)
+        return pa.table(
+            {
+                "token": pa.array(totals["token"].tolist()),
+                "count": pa.array(totals["count"].tolist(), type=pa.int64()),
+            }
+        )
 
     def local_topk(t: pa.Table) -> pa.Table:
         # After the token groupby each token lives in exactly one block, so

@@ -121,50 +121,128 @@ def simhash_pieces_batch(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
     )
 
 
-def simhash_candidate_pairs(ds, bands: int = 4, max_hamming: int = 3, id_col: str = "doc_id"):
-    """documents -> verified near-dup edges (hamming(simhash) <= max_hamming).
-    Guaranteed complete for max_hamming <= bands-1 (pigeonhole)."""
-    from plakar_ray.stages.chunk import default_pool_size
+def _bucket_hamming_pairs(
+    pid: np.ndarray, piece: np.ndarray, ids: np.ndarray, shs: np.ndarray,
+    max_hamming: int,
+) -> pa.Table:
+    """Verified pairs from co-located (piece_id, piece) bucket rows.
 
-    sketches = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(id_col=id_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=default_pool_size(),
+    One vectorized lexsort finds every bucket; only buckets with >= 2
+    distinct docs (rare — real near-dup collisions) pay the m^2 popcount
+    verify. Shared by the driver-local fast path and the per-partition
+    distributed stage, so both paths are result-identical by construction."""
+    empty = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
     )
-    pieces = sketches.map_batches(
-        lambda b: simhash_pieces_batch(b, bands, id_col), batch_format="pyarrow"
-    )
-
-    def verified_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        shs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, shs = ids[order], shs[order]
-        uniq, first = np.unique(ids, return_index=True)
-        shs = shs[first]
+    n = ids.shape[0]
+    if n < 2:
+        return empty
+    order = np.lexsort((ids, piece, pid))
+    pid, piece, ids, shs = pid[order], piece[order], ids[order], shs[order]
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = (pid[1:] != pid[:-1]) | (piece[1:] != piece[:-1])
+    gstart = np.flatnonzero(newg)
+    gend = np.append(gstart[1:], n)
+    multi = np.flatnonzero(gend - gstart >= 2)
+    if multi.size == 0:
+        return empty
+    out_a, out_b = [], []
+    for g in multi:
+        s, e = gstart[g], gend[g]
+        uniq, first = np.unique(ids[s:e], return_index=True)
+        gsh = shs[s:e][first]
         m = uniq.shape[0]
         if m < 2:
-            return pa.table(
-                {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-            )
-        xor = shs[:, None] ^ shs[None, :]
+            continue
+        xor = gsh[:, None] ^ gsh[None, :]
         ham = np.zeros((m, m), dtype=np.int64)
         v = xor.copy()
         for _ in range(8):  # byte-wise popcount of the 64-bit xor
             ham += _POP8[(v & _U64(0xFF)).astype(np.int64)]
             v >>= _U64(8)
         ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
-        return pa.table(
-            {
-                "id_a": pa.array(uniq[ia], type=pa.int64()),
-                "id_b": pa.array(uniq[ib], type=pa.int64()),
-            }
+        out_a.append(uniq[ia])
+        out_b.append(uniq[ib])
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+        }
+    )
+
+
+def simhash_candidate_pairs(
+    ds, bands: int = 4, max_hamming: int = 3, id_col: str = "doc_id",
+    local_threshold: int = 100_000,
+):
+    """documents -> verified near-dup edges (hamming(simhash) <= max_hamming).
+    Guaranteed complete for max_hamming <= bands-1 (pigeonhole).
+
+    Same exchange design as the MinHash LSH path (stages/lsh.py): piece rows
+    move through ONE hash-partition repartition on (piece_id, piece) — no
+    global sort, no per-group UDF dispatch (the former groupby().map_groups
+    paid ~0.1 ms of scheduling per bucket x tens of thousands of singleton
+    buckets) — then each partition verifies its buckets with one lexsort.
+    Piece tables at or under `local_threshold` rows skip the exchange and
+    group on the driver (identical results; piece rows are 28 bytes/doc/band,
+    so the default admits ~25k docs at bands=4)."""
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    # Stateless sketch stage -> task pool (no actor-pool startup tax; the
+    # same trade measured in stages/lsh.py's exchange tail).
+    sketch = SimHashStage(id_col=id_col)
+    sketches = ds.map_batches(
+        sketch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pieces = sketches.map_batches(
+        lambda b: simhash_pieces_batch(b, bands, id_col), batch_format="pyarrow"
+    )
+
+    def _arrays(t: pa.Table):
+        return (
+            t.column("piece_id").to_numpy(zero_copy_only=False),
+            t.column("piece").to_numpy(zero_copy_only=False).astype(np.uint64),
+            t.column(id_col).to_numpy(zero_copy_only=False),
+            t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64),
         )
 
-    return pieces.groupby(["piece_id", "piece"]).map_groups(
-        verified_pairs, batch_format="pyarrow"
+    # The piece table is sketch-scale (bands rows x 28 bytes per doc), far
+    # smaller than the corpus; materializing it is the lineage boundary that
+    # keeps the branch below from re-running the sketch stage.
+    pieces = pieces.materialize()
+    if local_threshold and pieces.count() <= local_threshold:
+        tables = [b for b in pieces.iter_batches(batch_format="pyarrow") if len(b)]
+        if not tables:
+            return ray.data.from_arrow(_bucket_hamming_pairs(
+                np.empty(0, np.int32), np.empty(0, np.uint64),
+                np.empty(0, np.int64), np.empty(0, np.uint64), max_hamming,
+            ))
+        t = pa.concat_tables(tables)
+        return ray.data.from_arrow(
+            _bucket_hamming_pairs(*_arrays(t), max_hamming)
+        )
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    pieces.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    parts = pieces.repartition(
+        max(8, cpus // 4), keys=["piece_id", "piece"], sort=False
+    )
+    return parts.map_batches(
+        lambda b: _bucket_hamming_pairs(*_arrays(b), max_hamming),
+        batch_size=None,  # batch == block == one complete hash partition
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
