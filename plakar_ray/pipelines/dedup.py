@@ -277,44 +277,106 @@ def cross_doc_dup_bytes(
     property, cmd/cdc/stats.go:122-155).
 
     Returns a Dataset (doc_id, dup_chunks, dup_bytes) for every document
-    that carries cross-document duplicated bytes. One digest-keyed
-    exchange over the chunk table (no payload columns — digest+id+length
-    rows only) followed by a small per-doc groupby. Run with the fixed
+    that carries cross-document duplicated bytes. Two hash-partition
+    exchanges (stages/lsh.py house style — no global sort, no per-group
+    UDF dispatch over the mostly-singleton digest groups): digest-keyed
+    over (digest64, id, length) rows with a vectorized per-partition
+    cross-doc filter and map-side per-doc partial sums, then doc-keyed
+    over the partials (dup-doc scale, << chunk scale). Run with the fixed
     chunker for the SQL-checkable variant; CDC for boundary-synchronized
     accuracy."""
-    from ray.data.aggregate import Count, Sum
+    import numpy as np
+    from ray.data.context import ShuffleStrategy
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_part = max(8, cpus // 4)
 
     chunks = chunk_dataset(
         ds, algo, opts, id_col=id_col, text_col=text_col, batch_size=batch_size
     ).select_columns(["digest64", id_col, "length"])
 
-    def emit_cross_doc(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col)
-        uniq = pa.compute.unique(ids)
-        if len(uniq) < 2:
-            return pa.schema(
-                [(id_col, pa.int64()), ("length", pa.int64())]
-            ).empty_table()
+    def partial_dup_sums(batch: pa.Table) -> pa.Table:
+        """One hash partition holds every row of each of its digests: keep
+        digests spanning >= 2 distinct docs, pre-sum lengths per doc."""
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "dup_chunks": pa.array([], type=pa.int64()),
+                "dup_bytes": pa.array([], type=pa.int64()),
+            }
+        )
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        dig = batch.column("digest64").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ln = batch.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, dig))
+        dig, ids, ln = dig[order], ids[order], ln[order]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = dig[1:] != dig[:-1]
+        newd = newg.copy()
+        newd[1:] |= ids[1:] != ids[:-1]
+        gstart = np.flatnonzero(newg)
+        distinct = np.add.reduceat(newd.astype(np.int64), gstart)
+        keep_group = distinct >= 2
+        if not keep_group.any():
+            return empty
+        gsize = np.diff(np.append(gstart, n))
+        keep = np.repeat(keep_group, gsize)
+        ids, ln = ids[keep], ln[keep]
+        if ids.size == 0:
+            return empty
+        # map-side combine: per-doc partials within this partition
+        order2 = np.argsort(ids, kind="stable")
+        ids, ln = ids[order2], ln[order2]
+        newdoc = np.empty(ids.size, dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = ids[1:] != ids[:-1]
+        dstart = np.flatnonzero(newdoc)
         return pa.table(
             {
-                id_col: ids,
-                "length": pa.compute.cast(group.column("length"), pa.int64()),
+                id_col: pa.array(ids[dstart], type=pa.int64()),
+                "dup_chunks": pa.array(
+                    np.diff(np.append(dstart, ids.size)), type=pa.int64()
+                ),
+                "dup_bytes": pa.array(np.add.reduceat(ln, dstart), type=pa.int64()),
             }
         )
 
-    dup_rows = chunks.groupby("digest64").map_groups(
-        emit_cross_doc, batch_format="pyarrow"
-    )
-    agg = dup_rows.groupby(id_col).aggregate(Count(), Sum("length"))
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                id_col: t.column(id_col),
-                "dup_chunks": pa.compute.cast(t.column("count()"), pa.int64()),
-                "dup_bytes": pa.compute.cast(t.column("sum(length)"), pa.int64()),
-            }
-        ),
+    def merge_doc_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        t = batch.group_by(id_col).aggregate(
+            [("dup_chunks", "sum"), ("dup_bytes", "sum")]
+        )
+        return t.rename_columns([id_col, "dup_chunks", "dup_bytes"])
+
+    chunks.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    partials = chunks.repartition(
+        n_part, keys=["digest64"], sort=False
+    ).map_batches(
+        partial_dup_sums,
+        batch_size=None,  # batch == block == one complete hash partition
         batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # Second, tiny exchange: per-doc partials (<= one row per doc per
+    # partition) re-keyed by doc and merged per partition.
+    partials.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return partials.repartition(
+        max(4, n_part // 2), keys=[id_col], sort=False
+    ).map_batches(
+        merge_doc_partials,
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
