@@ -48,25 +48,82 @@ def _text_digest_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     )
 
 
-def exact_dup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dup_groups(
+    ds, id_col: str = "doc_id", text_col: str = "text",
+    local_threshold: int = 1_000_000,
+):
     """(id, group_id) where group_id = min id among byte-identical texts.
-    One groupby shuffle keyed on the text digest."""
+
+    One digest-keyed HASH-PARTITION exchange (no global sort, no per-group
+    UDF dispatch over the mostly-singleton digest groups): every digest's
+    rows land wholly in one partition, where one lexsort assigns each row
+    its group's min id. Digest tables (one 40-byte row per doc — never the
+    text) at or under `local_threshold` rows group on the driver instead:
+    identical results, none of the exchange's fixed orchestration cost."""
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+
     digests = ds.map_batches(
         lambda b: _text_digest_batch(b, id_col, text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column(id_col).to_numpy(zero_copy_only=False))
+    def assign_groups(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "group_id": pa.array([], type=pa.int64()),
+                }
+            )
+        md5 = np.asarray(
+            batch.column("text_md5").to_numpy(zero_copy_only=False), dtype="S40"
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, md5))
+        md5, ids = md5[order], ids[order]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = md5[1:] != md5[:-1]
+        gstart = np.flatnonzero(newg)
+        gsize = np.diff(np.append(gstart, n))
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
-                "group_id": pa.array(np.full(ids.shape[0], ids[0]), type=pa.int64()),
+                "group_id": pa.array(
+                    np.repeat(ids[gstart], gsize), type=pa.int64()
+                ),
             }
         )
 
-    return digests.groupby("text_md5").map_groups(emit, batch_format="pyarrow")
+    digests = digests.materialize()
+    if local_threshold and digests.count() <= local_threshold:
+        tables = [b for b in digests.iter_batches(batch_format="pyarrow") if len(b)]
+        merged = pa.concat_tables(tables) if tables else _text_digest_batch(
+            pa.table({id_col: pa.array([], type=pa.int64()),
+                      text_col: pa.array([], type=pa.string())}),
+            id_col, text_col,
+        )
+        return ray.data.from_arrow(assign_groups(merged))
+
+    digests.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return digests.repartition(
+        max(8, cpus // 4), keys=["text_md5"], sort=False
+    ).map_batches(
+        assign_groups,
+        batch_size=None,  # batch == block == one complete hash partition
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
@@ -268,6 +325,7 @@ def cross_doc_dup_bytes(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_size: int | None = None,
+    local_threshold: int = 1_000_000,
 ):
     """Exact cross-document substring duplication at chunk granularity —
     the Ray-Data-native stand-in for suffix-array substring dedup (north
@@ -357,6 +415,24 @@ def cross_doc_dup_bytes(
             [("dup_chunks", "sum"), ("dup_bytes", "sum")]
         )
         return t.rename_columns([id_col, "dup_chunks", "dup_bytes"])
+
+    # Chunk-digest tables (24-byte rows, no payload) at or under
+    # `local_threshold` rows skip both exchanges and group on the driver —
+    # identical results via the same vectorized functions.
+    chunks = chunks.materialize()
+    if local_threshold and chunks.count() <= local_threshold:
+        import ray.data
+
+        tables = [b for b in chunks.iter_batches(batch_format="pyarrow") if len(b)]
+        if not tables:
+            return ray.data.from_arrow(partial_dup_sums(
+                pa.table({"digest64": pa.array([], type=pa.uint64()),
+                          id_col: pa.array([], type=pa.int64()),
+                          "length": pa.array([], type=pa.int64())})
+            ))
+        return ray.data.from_arrow(
+            merge_doc_partials(partial_dup_sums(pa.concat_tables(tables)))
+        )
 
     chunks.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     partials = chunks.repartition(

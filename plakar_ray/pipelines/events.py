@@ -201,26 +201,83 @@ def sessionize(
     gap_seconds: int = 1800,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    local_threshold: int = 1_000_000,
 ) -> pa.Table:
     """Session assignment: events of one user sorted by time; a gap >
-    gap_seconds starts a new session. Expressed as groupby(user).map_groups —
-    the canonical stateful-per-key operator the Dataset API can hold.
+    gap_seconds starts a new session. A user-keyed HASH-PARTITION exchange
+    co-locates each user's events, then ONE lexsort per partition counts
+    every user's sessions (segment boundaries = user change or gap) — no
+    global sort, no per-user UDF dispatch (millions of users at web scale).
+    (user, ts) tables at or under `local_threshold` rows sessionize on the
+    driver instead — identical results via the same vectorized function.
     Returns (user_id, n_sessions, n_events)."""
     import numpy as np
+    from ray.data.context import ShuffleStrategy
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ts = np.sort(ts)
-        gaps = np.diff(ts) > gap_seconds * 1_000_000
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+
+    def sessions_part(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                user_col: pa.array([], type=pa.int64()),
+                "n_sessions": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = batch.column(user_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = users[1:] != users[:-1]
+        # a session break is a user boundary OR an in-user gap > threshold
+        brk = newu.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_seconds * 1_000_000
+        ustart = np.flatnonzero(newu)
         return pa.table(
             {
-                user_col: group.column(user_col)[:1],
-                "n_sessions": pa.array([int(gaps.sum()) + 1], type=pa.int64()),
-                "n_events": pa.array([len(group)], type=pa.int64()),
+                user_col: pa.array(users[ustart], type=pa.int64()),
+                "n_sessions": pa.array(
+                    np.add.reduceat(brk.astype(np.int64), ustart), type=pa.int64()
+                ),
+                "n_events": pa.array(
+                    np.diff(np.append(ustart, n)), type=pa.int64()
+                ),
             }
         )
 
-    out = ds.groupby(user_col).map_groups(sessions, batch_format="pyarrow").to_pandas()
+    # Only (user, ts) ever moves — never the event payload columns.
+    slim = ds.select_columns([user_col, ts_col]).materialize()
+    if local_threshold and slim.count() <= local_threshold:
+        tables = [b for b in slim.iter_batches(batch_format="pyarrow") if len(b)]
+        merged = (
+            pa.concat_tables(tables)
+            if tables
+            else pa.table({user_col: pa.array([], type=pa.int64()),
+                           ts_col: pa.array([], type=pa.int64())})
+        )
+        out = sessions_part(merged).to_pandas()
+    else:
+        slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        out = (
+            slim.repartition(max(8, cpus // 4), keys=[user_col], sort=False)
+            .map_batches(
+                sessions_part,
+                batch_size=None,  # batch == block == one complete hash partition
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
     out = out.sort_values(user_col)
     return pa.table(
         {

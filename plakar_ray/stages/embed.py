@@ -228,44 +228,12 @@ def hyperplane_lsh_pairs(
         lambda b: simhash_pieces_batch(b, bands, id_col), batch_format="pyarrow"
     )
     max_ham = int(np.floor(np.arccos(min(threshold, 1.0)) / np.pi * n_bits))
+    # Shared pigeonhole exchange tail (stages/simhash.py): hash-partition
+    # on (piece_id, piece) + per-partition lexsort verify; n_bits adds the
+    # sketch-estimated cosine per verified pair.
+    from plakar_ray.stages.simhash import pieces_to_pairs
 
-    def verified(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        shs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, shs = ids[order], shs[order]
-        uniq, first_idx = np.unique(ids, return_index=True)
-        shs = shs[first_idx]
-        m = uniq.shape[0]
-        if m < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "cosine_est": pa.array([], type=pa.float64()),
-                }
-            )
-        xor = shs[:, None] ^ shs[None, :]
-        ham = np.zeros((m, m), dtype=np.int64)
-        v = xor.copy()
-        from plakar_ray.stages.simhash import _POP8
-
-        for _ in range(8):
-            ham += _POP8[(v & np.uint64(0xFF)).astype(np.int64)]
-            v >>= np.uint64(8)
-        ia, ib = np.nonzero(np.triu(ham <= max_ham, k=1))
-        est = np.cos(np.pi * ham[ia, ib] / n_bits)
-        return pa.table(
-            {
-                "id_a": pa.array(uniq[ia], type=pa.int64()),
-                "id_b": pa.array(uniq[ib], type=pa.int64()),
-                "cosine_est": pa.array(np.round(est, 6), type=pa.float64()),
-            }
-        )
-
-    return pieces.groupby(["piece_id", "piece"]).map_groups(
-        verified, batch_format="pyarrow"
-    )
+    return pieces_to_pairs(pieces, max_ham, id_col=id_col, n_bits=n_bits)
 
 
 def cosine_near_dup_pairs(

@@ -123,17 +123,21 @@ def simhash_pieces_batch(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
 
 def _bucket_hamming_pairs(
     pid: np.ndarray, piece: np.ndarray, ids: np.ndarray, shs: np.ndarray,
-    max_hamming: int,
+    max_hamming: int, n_bits: int | None = None,
 ) -> pa.Table:
     """Verified pairs from co-located (piece_id, piece) bucket rows.
 
     One vectorized lexsort finds every bucket; only buckets with >= 2
     distinct docs (rare — real near-dup collisions) pay the m^2 popcount
     verify. Shared by the driver-local fast path and the per-partition
-    distributed stage, so both paths are result-identical by construction."""
-    empty = pa.table(
-        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-    )
+    distributed stage, so both paths are result-identical by construction.
+    With `n_bits` set (the SRP embedding path, stages/embed.py) each pair
+    additionally carries cosine_est = cos(pi * hamming / n_bits)."""
+    cols = {"id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64())}
+    if n_bits:
+        cols["cosine_est"] = pa.array([], type=pa.float64())
+    empty = pa.table(cols)
     n = ids.shape[0]
     if n < 2:
         return empty
@@ -147,7 +151,7 @@ def _bucket_hamming_pairs(
     multi = np.flatnonzero(gend - gstart >= 2)
     if multi.size == 0:
         return empty
-    out_a, out_b = [], []
+    out_a, out_b, out_h = [], [], []
     for g in multi:
         s, e = gstart[g], gend[g]
         uniq, first = np.unique(ids[s:e], return_index=True)
@@ -164,45 +168,32 @@ def _bucket_hamming_pairs(
         ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
         out_a.append(uniq[ia])
         out_b.append(uniq[ib])
+        if n_bits:
+            out_h.append(ham[ia, ib])
     if not out_a:
         return empty
-    return pa.table(
-        {
-            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
-        }
-    )
+    cols = {
+        "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+    }
+    if n_bits:
+        est = np.cos(np.pi * np.concatenate(out_h) / n_bits)
+        cols["cosine_est"] = pa.array(np.round(est, 6), type=pa.float64())
+    return pa.table(cols)
 
 
-def simhash_candidate_pairs(
-    ds, bands: int = 4, max_hamming: int = 3, id_col: str = "doc_id",
-    local_threshold: int = 100_000,
+def pieces_to_pairs(
+    pieces, max_hamming: int, id_col: str = "doc_id",
+    n_bits: int | None = None, local_threshold: int = 100_000,
 ):
-    """documents -> verified near-dup edges (hamming(simhash) <= max_hamming).
-    Guaranteed complete for max_hamming <= bands-1 (pigeonhole).
+    """(id, piece_id, piece, simhash) Dataset -> verified pair Dataset.
 
-    Same exchange design as the MinHash LSH path (stages/lsh.py): piece rows
-    move through ONE hash-partition repartition on (piece_id, piece) — no
-    global sort, no per-group UDF dispatch (the former groupby().map_groups
-    paid ~0.1 ms of scheduling per bucket x tens of thousands of singleton
-    buckets) — then each partition verifies its buckets with one lexsort.
-    Piece tables at or under `local_threshold` rows skip the exchange and
-    group on the driver (identical results; piece rows are 28 bytes/doc/band,
-    so the default admits ~25k docs at bands=4)."""
+    The shared exchange tail for every pigeonhole-sketch pipeline (SimHash
+    text near-dup, SRP embedding near-dup): ONE hash-partition repartition
+    on (piece_id, piece) + per-partition lexsort verify, with a size-gated
+    driver-local fast path. No global sort, no per-group UDF dispatch."""
     import ray.data
     from ray.data.context import ShuffleStrategy
-
-    # Stateless sketch stage -> task pool (no actor-pool startup tax; the
-    # same trade measured in stages/lsh.py's exchange tail).
-    sketch = SimHashStage(id_col=id_col)
-    sketches = ds.map_batches(
-        sketch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    pieces = sketches.map_batches(
-        lambda b: simhash_pieces_batch(b, bands, id_col), batch_format="pyarrow"
-    )
 
     def _arrays(t: pa.Table):
         return (
@@ -221,11 +212,12 @@ def simhash_candidate_pairs(
         if not tables:
             return ray.data.from_arrow(_bucket_hamming_pairs(
                 np.empty(0, np.int32), np.empty(0, np.uint64),
-                np.empty(0, np.int64), np.empty(0, np.uint64), max_hamming,
+                np.empty(0, np.int64), np.empty(0, np.uint64),
+                max_hamming, n_bits,
             ))
         t = pa.concat_tables(tables)
         return ray.data.from_arrow(
-            _bucket_hamming_pairs(*_arrays(t), max_hamming)
+            _bucket_hamming_pairs(*_arrays(t), max_hamming, n_bits)
         )
 
     try:
@@ -239,10 +231,41 @@ def simhash_candidate_pairs(
         max(8, cpus // 4), keys=["piece_id", "piece"], sort=False
     )
     return parts.map_batches(
-        lambda b: _bucket_hamming_pairs(*_arrays(b), max_hamming),
+        lambda b: _bucket_hamming_pairs(*_arrays(b), max_hamming, n_bits),
         batch_size=None,  # batch == block == one complete hash partition
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def simhash_candidate_pairs(
+    ds, bands: int = 4, max_hamming: int = 3, id_col: str = "doc_id",
+    local_threshold: int = 100_000,
+):
+    """documents -> verified near-dup edges (hamming(simhash) <= max_hamming).
+    Guaranteed complete for max_hamming <= bands-1 (pigeonhole).
+
+    Same exchange design as the MinHash LSH path (stages/lsh.py): piece rows
+    move through ONE hash-partition repartition on (piece_id, piece) — no
+    global sort, no per-group UDF dispatch (the former groupby().map_groups
+    paid ~0.1 ms of scheduling per bucket x tens of thousands of singleton
+    buckets) — then each partition verifies its buckets with one lexsort.
+    Piece tables at or under `local_threshold` rows skip the exchange and
+    group on the driver (identical results; piece rows are 28 bytes/doc/band,
+    so the default admits ~25k docs at bands=4)."""
+    # Stateless sketch stage -> task pool (no actor-pool startup tax; the
+    # same trade measured in stages/lsh.py's exchange tail).
+    sketch = SimHashStage(id_col=id_col)
+    sketches = ds.map_batches(
+        sketch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pieces = sketches.map_batches(
+        lambda b: simhash_pieces_batch(b, bands, id_col), batch_format="pyarrow"
+    )
+    return pieces_to_pairs(
+        pieces, max_hamming, id_col=id_col, local_threshold=local_threshold
     )
 
 

@@ -443,3 +443,71 @@ def test_lsh_pre_exchange_compaction_same_edges(ray_session, fixture_pages):
     many = ray.data.from_arrow(tbl).repartition(tbl.num_rows)  # 1-row blocks
     few = ray.data.from_arrow(tbl).repartition(4)
     assert edge_set(many) == edge_set(few)
+
+
+def test_local_vs_distributed_path_equivalence(ray_session, fixture_pages):
+    """Every size-gated driver-local fast path must match its distributed
+    hash-partition exchange exactly (local_threshold=0 forces the exchange):
+    exact_dup_groups, cross_doc_dup_bytes, sessionize, simhash pairs."""
+    import ray.data
+
+    from plakar_ray.pipelines.dedup import cross_doc_dup_bytes, exact_dup_groups
+    from plakar_ray.stages.simhash import simhash_candidate_pairs
+
+    pages, _ = fixture_pages
+
+    def norm(ds, cols):
+        return (
+            ds.to_pandas().sort_values(cols).reset_index(drop=True)
+        )
+
+    loc = norm(exact_dup_groups(_ds(pages), id_col="page_id"), ["page_id"])
+    dist = norm(
+        exact_dup_groups(_ds(pages), id_col="page_id", local_threshold=0),
+        ["page_id"],
+    )
+    assert loc.equals(dist)
+
+    kw = dict(algo="fixed-v1.0.0", opts=SMALL, id_col="page_id", text_col="text")
+    loc = norm(cross_doc_dup_bytes(_ds(pages), **kw), ["page_id"])
+    dist = norm(
+        cross_doc_dup_bytes(_ds(pages), local_threshold=0, **kw), ["page_id"]
+    )
+    assert loc.equals(dist)
+
+    loc = norm(
+        simhash_candidate_pairs(_ds(pages), bands=4, max_hamming=3, id_col="page_id"),
+        ["id_a", "id_b"],
+    ).drop_duplicates().reset_index(drop=True)
+    dist = norm(
+        simhash_candidate_pairs(
+            _ds(pages), bands=4, max_hamming=3, id_col="page_id", local_threshold=0
+        ),
+        ["id_a", "id_b"],
+    ).drop_duplicates().reset_index(drop=True)
+    assert loc.equals(dist)
+
+
+def test_sessionize_distributed_matches_local(ray_session):
+    """Hash-exchange sessionize (local_threshold=0) == driver-local
+    sessionize on a synthetic multi-user event table with in-user gaps."""
+    import ray.data
+
+    from plakar_ray.pipelines.events import sessionize
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 37, n), type=pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**9, n)), type=pa.int64()
+            ),
+        }
+    )
+    loc = sessionize(ray.data.from_arrow(t), gap_seconds=5).to_pandas()
+    dist = sessionize(
+        ray.data.from_arrow(t), gap_seconds=5, local_threshold=0
+    ).to_pandas()
+    assert loc.reset_index(drop=True).equals(dist.reset_index(drop=True))
+    assert loc.n_sessions.sum() > loc.user_id.nunique()  # gaps actually split
