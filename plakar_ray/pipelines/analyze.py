@@ -75,6 +75,86 @@ def _length_stats(chunks_ds, max_size: int) -> dict[str, Any]:
     )
 
 
+def _unique_digest_totals(
+    chunks, local_threshold: int = 1_000_000
+) -> tuple[int, int]:
+    """(distinct digest count, sum of one length per distinct digest) over a
+    chunk Dataset carrying (digest, length) columns.
+
+    Stage 1 dedups digests per block map-side (shuffle volume becomes
+    block-distinct digests, not chunk rows). Stage 2 merges: at or under
+    `local_threshold` surviving rows, one driver np.unique; above it, a
+    digest-keyed HASH-PARTITION exchange where each partition reports its
+    distinct count/bytes (digests are partition-disjoint by construction),
+    summed by a final tiny aggregate."""
+    from ray.data.aggregate import Sum
+    from ray.data.context import ShuffleStrategy
+
+    def block_uniq(b: pa.Table) -> pa.Table:
+        g = b.select(["digest", "length"]).group_by("digest").aggregate(
+            [("length", "min")]
+        )
+        return g.rename_columns(["digest", "length"])
+
+    parts = chunks.map_batches(
+        block_uniq, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if local_threshold and parts.count() <= local_threshold:
+        digs, lens = [], []
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                digs.append(np.asarray(
+                    b.column("digest").to_numpy(zero_copy_only=False), dtype="S64"
+                ))
+                lens.append(
+                    b.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        if not digs:
+            return 0, 0
+        dig = np.concatenate(digs)
+        ln = np.concatenate(lens)
+        _, first = np.unique(dig, return_index=True)
+        return int(first.size), int(ln[first].sum())
+
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+
+    def part_totals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"partial_chunks": pa.array([], type=pa.int64()),
+                 "partial_bytes": pa.array([], type=pa.int64())}
+            )
+        dig = np.asarray(
+            b.column("digest").to_numpy(zero_copy_only=False), dtype="S64"
+        )
+        ln = b.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, first = np.unique(dig, return_index=True)
+        return pa.table(
+            {
+                "partial_chunks": pa.array([first.size], type=pa.int64()),
+                "partial_bytes": pa.array([int(ln[first].sum())], type=pa.int64()),
+            }
+        )
+
+    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    per = parts.repartition(
+        max(8, cpus // 4), keys=["digest"], sort=False
+    ).map_batches(
+        part_totals,
+        batch_size=None,  # batch == block == one complete hash partition
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = per.aggregate(Sum("partial_chunks"), Sum("partial_bytes"))
+    return int(agg["sum(partial_chunks)"] or 0), int(agg["sum(partial_bytes)"] or 0)
+
+
 def measure(
     ds,
     algo: str,
@@ -85,8 +165,6 @@ def measure(
 ) -> dict[str, Any]:
     """Full corpus measurement: totals, cross-document unique chunks by
     digest (the distributed `seen` set), and the exact length distribution."""
-    from ray.data.aggregate import Count, Sum
-
     spec = get_algorithm(algo)
     o = spec.resolve_opts(opts)
     chunks = chunk_dataset(
@@ -98,12 +176,12 @@ def measure(
     chunks = chunks.materialize()
     stats = _length_stats(chunks, o.max_size)
 
-    # Distinct digests: groupby-digest shuffle; length is digest-determined
-    # (resync.go:104-107), so min(length) == the chunk length.
-    uniq = chunks.groupby("digest").min("length")
-    u = uniq.aggregate(Sum("min(length)"), Count())
-    unique_bytes = int(u["sum(min(length))"] or 0)
-    unique_chunks = int(u["count()"] or 0)
+    # Distinct digests — the distributed `seen` set. Length is
+    # digest-determined (resync.go:104-107), so any representative length
+    # per digest is exact. Map-side block dedup first (unique digests per
+    # block), then the house exchange shape: size-gated driver merge, or a
+    # digest-keyed hash-partition exchange + per-partition distinct count.
+    unique_chunks, unique_bytes = _unique_digest_totals(chunks)
 
     total_bytes = stats["total_bytes"]
     return dict(

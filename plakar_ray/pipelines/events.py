@@ -11,6 +11,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+from plakar_ray.functions.agg import gated_groupby_sum as _gated_groupby_sum
+
+
 def tumbling_window_counts(
     ds,
     window: str = "hour",
@@ -43,12 +46,9 @@ def tumbling_window_counts(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    final = (
-        parts.groupby(["window_start", key_col])
-        .sum(["n_events", "value_sum"])
-        .to_pandas()
-        .sort_values(["window_start", key_col])
-    )
+    final = _gated_groupby_sum(
+        parts, ["window_start", key_col], ["n_events", "value_sum"]
+    ).sort_values(["window_start", key_col])
     return pa.table(
         {
             "window_start": pa.array(final["window_start"]),
@@ -103,12 +103,9 @@ def hopping_window_counts(
         )
 
     parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    final = (
-        parts.groupby(["window_start", key_col])
-        .sum("partial")
-        .to_pandas()
-        .sort_values(["window_start", key_col])
-    )
+    final = _gated_groupby_sum(
+        parts, ["window_start", key_col], ["partial"]
+    ).sort_values(["window_start", key_col])
     return pa.table(
         {
             "window_start": pa.array(final["window_start"]),

@@ -85,13 +85,12 @@ def token_stats_by_lang(ds, lang_col: str = "lang", text_col: str = "text") -> p
             }
         )
 
+    from plakar_ray.functions.agg import gated_groupby_sum
+
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    final = (
-        parts.groupby("lang")
-        .sum(["docs", "tokens_sum", "chars_sum"])
-        .to_pandas()
-        .sort_values("lang")
-    )
+    final = gated_groupby_sum(
+        parts, "lang", ["docs", "tokens_sum", "chars_sum"]
+    ).sort_values("lang")
     return pa.table(
         {
             "lang": pa.array(final["lang"]),
