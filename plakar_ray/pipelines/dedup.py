@@ -126,9 +126,18 @@ def exact_dup_groups(
     )
 
 
-def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+def exact_dedup_stats(
+    ds, id_col: str = "doc_id", text_col: str = "text",
+    local_threshold: int = 1_000_000,
+) -> pa.Table:
     """Corpus-level exact-dedup metrics (document granularity analogue of the
-    reference's measure: distinct-by-digest counts and byte ratio)."""
+    reference's measure: distinct-by-digest counts and byte ratio).
+
+    The digest table is one 40-byte row per doc; at or under
+    `local_threshold` rows every statistic comes from ONE driver pass
+    (np.unique), skipping three fixed-cost distributed aggregates. Larger
+    corpora take the distributed groupby (nbytes is digest-determined, so
+    min(nbytes) is an exact representative)."""
     from ray.data.aggregate import Count, Min, Sum
 
     digests = ds.map_batches(
@@ -136,6 +145,33 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text") -> pa.
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    if local_threshold and digests.count() <= local_threshold:
+        md5s, lens = [], []
+        for b in digests.iter_batches(batch_format="pyarrow"):
+            if len(b):
+                md5s.append(np.asarray(
+                    b.column("text_md5").to_numpy(zero_copy_only=False), dtype="S40"
+                ))
+                lens.append(
+                    b.column("nbytes").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+        md5 = np.concatenate(md5s) if md5s else np.empty(0, dtype="S40")
+        ln = np.concatenate(lens) if lens else np.empty(0, dtype=np.int64)
+        n_docs = int(md5.size)
+        total_bytes = int(ln.sum())
+        _, first = np.unique(md5, return_index=True)
+        n_distinct = int(first.size)
+        unique_bytes = int(ln[first].sum())
+        return pa.table(
+            {
+                "n_docs": [n_docs],
+                "n_distinct": [n_distinct],
+                "n_dup_docs": [n_docs - n_distinct],
+                "total_bytes": [total_bytes],
+                "unique_bytes": [unique_bytes],
+                "dedup_ratio": [unique_bytes / total_bytes if total_bytes else 0.0],
+            }
+        )
     totals = digests.aggregate(Count(), Sum("nbytes"))
     n_docs = int(totals["count()"])
     total_bytes = int(totals["sum(nbytes)"] or 0)

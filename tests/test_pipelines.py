@@ -468,6 +468,14 @@ def test_local_vs_distributed_path_equivalence(ray_session, fixture_pages):
     )
     assert loc.equals(dist)
 
+    from plakar_ray.pipelines.dedup import exact_dedup_stats
+
+    loc = exact_dedup_stats(_ds(pages), id_col="page_id").to_pandas()
+    dist = exact_dedup_stats(
+        _ds(pages), id_col="page_id", local_threshold=0
+    ).to_pandas()
+    assert loc.equals(dist)
+
     kw = dict(algo="fixed-v1.0.0", opts=SMALL, id_col="page_id", text_col="text")
     loc = norm(cross_doc_dup_bytes(_ds(pages), **kw), ["page_id"])
     dist = norm(
