@@ -9,11 +9,15 @@ numpy decodes directly:
   top-down rows.
 * WAV: RIFF/WAVE with PCM (format 1) 8/16/32-bit or IEEE-float (format 3)
   samples.
+* PNG: 8-bit gray/RGB/palette/alpha, non-interlaced — the DEFLATE payload
+  is stdlib zlib and the five scanline filters are small integer
+  recurrences (see decode_png), so no imaging library is needed.
 
-These make the media stages' strict path REAL for uncompressed inputs;
-compressed formats (JPEG/PNG/MP3/...) remain gated behind optional libraries
-(PIL is probed at stage init) because decoding them without one is out of
-scope. Encoders exist so tests can round-trip deterministic fixtures.
+These make the media stages' strict path REAL for uncompressed inputs and
+8-bit PNG; the remaining compressed formats (JPEG/MP3/16-bit or Adam7
+PNG/...) stay gated behind optional libraries (PIL is probed at stage
+init) because decoding them without one is out of scope. Encoders exist
+so tests can round-trip deterministic fixtures.
 
 All decoders take a 1-D uint8 numpy view (zero-copy from an Arrow binary
 column) and raise ValueError on malformed input.
@@ -231,3 +235,125 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# -------------------------------------------------------------------- PNG
+# PNG needs no imaging library either: the container is chunked, the
+# payload is stdlib-zlib DEFLATE, and the five scanline filters are small
+# integer recurrences — Up and Sub are fully vectorizable (row-wise add,
+# per-byte-lane prefix sum mod 256); Average/Paeth fall back to a per-pixel
+# loop only on the rows that actually use them.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+    """PNG -> (width, height, channels, pixels[h, w, c] uint8).
+
+    Supports bit depth 8, color types 0/2/3/4/6 (palette expanded to RGB),
+    non-interlaced. Raises ValueError on anything else (16-bit, Adam7)."""
+    import zlib
+
+    raw = bytes(buf)
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(raw):
+        (clen,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace})"
+        )
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    dec = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if dec.shape[0] != h * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    rows = dec.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.empty((h, stride), np.uint16)  # uint16 scratch, mod-256 at use
+    prior = np.zeros(stride, np.uint16)
+    for y in range(h):
+        rl = rows[y, 1:].astype(np.uint16)
+        f = ftypes[y]
+        if f == 0:  # None
+            cur = rl
+        elif f == 2:  # Up
+            cur = (rl + prior) & 0xFF
+        elif f == 1:  # Sub: per-byte-lane prefix sum mod 256
+            cur = rl.copy()
+            for k in range(ch):
+                lane = cur[k::ch]
+                np.cumsum(lane, out=lane)
+                lane &= 0xFF
+        else:  # Average (3) / Paeth (4): sequential recurrence
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prior[x])
+                if f == 3:
+                    cur[x] = (int(rl[x]) + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    cc = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - cc
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (int(rl[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prior = cur
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:  # palette -> RGB
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]
+        ch = 3
+    return w, h, ch, px
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """pixels[h, w] or [h, w, c] uint8 (c in 1/2/3/4) -> PNG bytes
+    (filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    scan = np.zeros((h, w * ch + 1), np.uint8)
+    scan[:, 1:] = px.reshape(h, w * ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
