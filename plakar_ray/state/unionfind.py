@@ -131,6 +131,9 @@ def label_propagation(
         return rd.from_arrow_refs(refs)
 
     edges = _rebuild(edges, edges.schema().base_schema.empty_table())
+    joined_empty = pa.schema(
+        [(a_col, node_type), (b_col, node_type), ("label_a", node_type)]
+    ).empty_table()
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col)
@@ -200,10 +203,21 @@ def label_propagation(
         prev_sum = cur
         la = labels.rename_columns({"node": a_col, "label": "label_a"})
         lb = labels.rename_columns({"node": b_col, "label": "label_b"})
-        offered = (
-            edges.join(la, "inner", num_partitions, on=(a_col,))
-            .join(lb, "inner", num_partitions, on=(b_col,))
-            .map_batches(relabel_exploded, batch_format="pyarrow")
+        # Rebuild between the chained joins: Ray's hash-shuffle join
+        # broadcasts schema-bearing empty shards only from the FIRST
+        # shuffle task per input, and _shuffle_block returns early for a
+        # zero-row block while the operator still marks schemas as
+        # broadcast — so if an empty block from join #1 arrives first,
+        # left-empty partitions of join #2 build columnless tables and
+        # pyarrow's join raises ArrowInvalid (block-order race). Dropping
+        # empty blocks at the ref level guarantees the first shard seen
+        # carries the schema.
+        half = _rebuild(
+            edges.join(la, "inner", num_partitions, on=(a_col,)).materialize(),
+            joined_empty,
+        )
+        offered = half.join(lb, "inner", num_partitions, on=(b_col,)).map_batches(
+            relabel_exploded, batch_format="pyarrow"
         )
         labels = _rebuild(
             offered.groupby("node")
