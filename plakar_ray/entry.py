@@ -158,6 +158,45 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ngram_minhash_sigs(sf_dir: str) -> pa.Table:
+    """Driver-verifiable MinHash core: per-doc signatures over word-3-gram
+    shingles with an md5-derived hash family DuckDB reproduces value-exactly
+    (stages/evidence.py) — the SQL-checkable twin of ngram_minhash_clusters."""
+    from plakar_ray.stages.evidence import ngram_minhash_signatures
+
+    out = (
+        ngram_minhash_signatures(_docs(sf_dir, ["doc_id", "text"]), num_perm=16)
+        .to_pandas()
+        .sort_values(["doc_id", "perm_id"])
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "perm_id": pa.array(out["perm_id"], type=pa.int64()),
+            "minhash64": pa.array(out["minhash64"], type=pa.uint64()),
+        }
+    )
+
+
+def q_simhash64(sf_dir: str) -> pa.Table:
+    """Driver-verifiable SimHash core: per-doc 64-bit simhash over distinct
+    md5-hashed tokens (stages/evidence.py) — the SQL-checkable twin of
+    simhash_pairs' gear-hash signature."""
+    from plakar_ray.stages.evidence import simhash_md5
+
+    out = (
+        simhash_md5(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "simhash64": pa.array(out["simhash64"], type=pa.uint64()),
+        }
+    )
+
+
 def q_doc_text_stats(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.text import doc_text_stats
 
@@ -659,6 +698,8 @@ def queries():
         "minhash_lsh_clusters_salted": q_minhash_lsh_clusters_salted,
         "ngram_minhash_clusters": q_ngram_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_minhash_sigs": q_ngram_minhash_sigs,
+        "simhash64": q_simhash64,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -828,6 +869,42 @@ def oracle_sql():
               AND len(list_intersect(a.toks, b.toks)) /
                   (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # md5_number_upper(s) == little-endian first 8 md5 bytes; XOR with
+        # md5-derived per-permutation constants = the evidence MinHash family
+        # (stages/evidence.py). DISTINCT shingles per doc on both sides.
+        "ngram_minhash_sigs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_upper(t[(g.i+1)::INT] || ' ' || t[(g.i+2)::INT] || ' ' || t[(g.i+3)::INT]) AS h
+              FROM toks CROSS JOIN LATERAL (SELECT unnest(range(len(t) - 2)) AS i) g
+              WHERE len(t) >= 3
+            )
+            SELECT doc_id, p.p::BIGINT AS perm_id,
+                   min(xor(h, md5_number_upper('perm-' || p.p))) AS minhash64
+            FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p) p
+            GROUP BY doc_id, p.p ORDER BY doc_id, perm_id
+        """,
+        "simhash64": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id, md5_number_upper(tok) AS hv FROM toks
+            ), bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (hv >> b.b::INT) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (1::HUGEINT << b::INT) ELSE 0::HUGEINT END)::UBIGINT AS simhash64
+            FROM bits GROUP BY doc_id ORDER BY doc_id
         """,
         "pages_extract_digests": """
             SELECT 'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,

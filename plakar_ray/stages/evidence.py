@@ -1,0 +1,172 @@
+"""Driver-verifiable twins of the MinHash and SimHash cores.
+
+The production near-dup stages (stages/minhash.py, stages/simhash.py) use
+gear/FNV hash families that no SQL engine reproduces, so the driver's
+DuckDB gate can only count their rows. The two map-side pipelines here run
+the SAME core computations — min-over-permutations of word-3-gram shingle
+hashes (MinHash), and sign-of-bit-sums over distinct token hashes
+(SimHash) — with an md5-derived 64-bit hash that DuckDB reproduces
+exactly: ``md5_number_upper(s)`` equals the little-endian first 8 bytes of
+``hashlib.md5(s)``. Permutations are XORs with fixed md5-derived
+constants (XOR by a constant is a bijection on uint64, the classic
+one-hash-function MinHash family), so every signature VALUE — not just the
+row count — is checked by the driver's oracle.
+
+Scale shape: both pipelines are pure map_batches (no shuffle, streams at
+any corpus size). md5 is computed per distinct string per document — a
+Python hashlib loop by necessity (numpy has no md5 kernel); the
+min/bit-sum reductions are vectorized numpy. This is the evidence path;
+the production path keeps the vectorized gear/FNV family
+(stages/minhash.py:109, stages/simhash.py).
+
+Reference anchor: the signature layer these queries evidence implements
+SURVEY.md §2's near-dup extension of cmd/cdc/stats.go's digest-set dedup
+(/root/reference/cmd/cdc/stats.go:122-155).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_U64 = np.uint64
+
+
+def md5u64(data: bytes) -> int:
+    """DuckDB md5_number_upper(s): little-endian first 8 md5 bytes."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
+
+def perm_constants(num_perm: int) -> np.ndarray:
+    """XOR constants for the permutation family, md5u64('perm-<j>')."""
+    return np.fromiter(
+        (md5u64(b"perm-%d" % j) for j in range(num_perm)),
+        dtype=np.uint64,
+        count=num_perm,
+    )
+
+
+# Token-hash cache shared across batches within a worker process. The
+# vocabulary is Zipfian, so the hit rate is high; bounded to keep worker
+# heap flat on an unbounded-vocabulary corpus.
+_TOK_CACHE: dict[str, int] = {}
+_TOK_CACHE_MAX = 1_000_000
+
+
+def _token_hash(tok: str) -> int:
+    h = _TOK_CACHE.get(tok)
+    if h is None:
+        if len(_TOK_CACHE) >= _TOK_CACHE_MAX:
+            _TOK_CACHE.clear()
+        h = md5u64(tok.encode())
+        _TOK_CACHE[tok] = h
+    return h
+
+
+def ngram_minhash_sig_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+) -> pa.Table:
+    """(doc_id, perm_id, minhash64): per-doc MinHash over DISTINCT word
+    3-grams. Documents with fewer than 3 tokens emit no rows (the oracle's
+    ``WHERE len(t) >= 3`` mirrors this)."""
+    perms = perm_constants(num_perm)
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_ids: list[int] = []
+    out_mins: list[np.ndarray] = []
+    for did, text in zip(ids, texts):
+        toks = _TOKEN_RE.findall(text.lower())
+        if len(toks) < 3:
+            continue
+        shingles = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        hs = np.fromiter(
+            (md5u64(s.encode()) for s in shingles),
+            dtype=np.uint64,
+            count=len(shingles),
+        )
+        out_ids.append(did)
+        out_mins.append((hs[:, None] ^ perms[None, :]).min(axis=0))
+    k = len(out_ids)
+    mins = (
+        np.stack(out_mins) if k else np.empty((0, num_perm), dtype=np.uint64)
+    )
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(np.asarray(out_ids, dtype=np.int64), num_perm)),
+            "perm_id": pa.array(np.tile(np.arange(num_perm, dtype=np.int64), k)),
+            "minhash64": pa.array(mins.reshape(-1), type=pa.uint64()),
+        }
+    )
+
+
+def simhash_md5_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(doc_id, simhash64): 64-bit SimHash over DISTINCT tokens — bit b is
+    set iff more distinct-token hashes have bit b set than clear (strict
+    majority; ties clear the bit, matching the oracle's ``s > 0``).
+    Documents with no tokens emit no rows."""
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_ids: list[int] = []
+    hash_runs: list[np.ndarray] = []
+    for did, text in zip(ids, texts):
+        toks = set(_TOKEN_RE.findall(text.lower()))
+        if not toks:
+            continue
+        out_ids.append(did)
+        hash_runs.append(
+            np.fromiter(
+                (_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+        )
+    if not out_ids:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "simhash64": pa.array([], type=pa.uint64()),
+            }
+        )
+    counts = np.fromiter((h.shape[0] for h in hash_runs), dtype=np.int64)
+    hs = np.concatenate(hash_runs)
+    shifts = np.arange(64, dtype=np.uint64)
+    # ±1 per (token, bit), summed per doc-run in one reduceat.
+    signs = (((hs[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int8) * 2 - 1)
+    starts = np.cumsum(counts) - counts
+    sums = np.add.reduceat(signs.astype(np.int32), starts, axis=0)
+    vals = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {
+            id_col: pa.array(np.asarray(out_ids, dtype=np.int64)),
+            "simhash64": pa.array(vals, type=pa.uint64()),
+        }
+    )
+
+
+def ngram_minhash_signatures(
+    ds, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 16
+):
+    return ds.map_batches(
+        lambda b: ngram_minhash_sig_batch(b, id_col, text_col, num_perm),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def simhash_md5(ds, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda b: simhash_md5_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
