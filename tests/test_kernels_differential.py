@@ -181,3 +181,21 @@ def test_word3_batch_matches_scalar():
         else:
             ref = np.full(48, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
         assert (sig[i] == ref).all(), i
+
+
+def test_warm_fps_matches_matrix():
+    """_warm_fps (log-doubling) vs the direct (L, L) shift-matrix definition
+    fp[d] = sum_{j<=d} h[d-j] << j (mod 2^64), across all warm-up lengths."""
+    from plakar_ray.kernels import _warm_fps
+
+    rng = np.random.default_rng(42)
+    for L in (1, 2, 3, 7, 16, 31, 32, 33, 62, 63):
+        h = rng.integers(0, 1 << 64, size=L, dtype=np.uint64)
+        d = np.arange(L)
+        shifts = np.maximum(d[:, None] - d[None, :], 0).astype(np.uint64)
+        valid = d[:, None] >= d[None, :]
+        want = np.where(valid, np.left_shift(h[None, :], shifts), np.uint64(0)).sum(
+            axis=1, dtype=np.uint64
+        )
+        got = _warm_fps(h.copy())
+        assert np.array_equal(got, want), L
