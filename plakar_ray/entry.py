@@ -197,6 +197,25 @@ def q_simhash64(sf_dir: str) -> pa.Table:
     )
 
 
+def q_minhash_lsh_clusters_md5(sf_dir: str) -> pa.Table:
+    """The flagship LSH banding + star-edge + connected-components tail
+    (stages/lsh.py, pipelines/dedup.clusters_from_signatures — the exact
+    code path of minhash_lsh_clusters) running over the md5 evidence
+    signatures, so the driver's oracle value-checks the CLUSTER ASSIGNMENTS
+    end-to-end (recursive-CTE connected components in DuckDB)."""
+    from plakar_ray.pipelines.dedup import clusters_from_signatures
+    from plakar_ray.stages.evidence import ngram_minhash_signatures_wide
+
+    sigs = ngram_minhash_signatures_wide(_docs(sf_dir, ["doc_id", "text"]), num_perm=16)
+    out = clusters_from_signatures(sigs, bands=4)
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id").cast(pa.int64()),
+            "cluster_id": out.column("cluster_id").cast(pa.int64()),
+        }
+    )
+
+
 def q_doc_text_stats(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.text import doc_text_stats
 
@@ -700,6 +719,7 @@ def queries():
         "simhash_pairs": q_simhash_pairs,
         "ngram_minhash_sigs": q_ngram_minhash_sigs,
         "simhash64": q_simhash64,
+        "minhash_lsh_clusters_md5": q_minhash_lsh_clusters_md5,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -888,6 +908,42 @@ def oracle_sql():
                    min(xor(h, md5_number_upper('perm-' || p.p))) AS minhash64
             FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p) p
             GROUP BY doc_id, p.p ORDER BY doc_id, perm_id
+        """,
+        # Same signature CTE as ngram_minhash_sigs; bands of 4 consecutive
+        # perms (slice equality stands in for the FNV band hash — identical
+        # semantics modulo a 2^-64 hash collision); docs sharing a band
+        # bucket edge, components close under a recursive CTE, cluster_id =
+        # min member id — exactly clusters_from_signatures' semantics.
+        "minhash_lsh_clusters_md5": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_upper(t[(g.i+1)::INT] || ' ' || t[(g.i+2)::INT] || ' ' || t[(g.i+3)::INT]) AS h
+              FROM toks CROSS JOIN LATERAL (SELECT unnest(range(len(t) - 2)) AS i) g
+              WHERE len(t) >= 3
+            ), sig AS (
+              SELECT doc_id, p.p::BIGINT AS perm_id,
+                     min(xor(h, md5_number_upper('perm-' || p.p))) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p) p
+              GROUP BY doc_id, p.p
+            ), bandkey AS (
+              SELECT doc_id, (perm_id // 4)::INT AS band_id,
+                     string_agg(mh::VARCHAR, ',' ORDER BY perm_id) AS bkey
+              FROM sig GROUP BY doc_id, (perm_id // 4)::INT
+            ), edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM bandkey a JOIN bandkey b
+                ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+            ), reach(u, v) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, min(v)::BIGINT AS cluster_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "simhash64": """
             WITH toks AS (

@@ -237,6 +237,33 @@ def near_dup_clusters(
 ) -> pa.Table:
     """Flagship: near-duplicate clusters (id, cluster_id = min member id).
 
+    Signature front-end (minhash_signatures) + clusters_from_signatures
+    tail; see the latter for the clustering-path switch."""
+    sigs = minhash_signatures(
+        ds, algo=algo, opts=opts, num_perm=num_perm, seed=seed,
+        id_col=id_col, text_col=text_col, concurrency=concurrency, shingle=shingle,
+    )
+    return clusters_from_signatures(
+        sigs, bands=bands, id_col=id_col, salt_buckets=salt_buckets,
+        local_threshold=local_threshold,
+        distributed_cc_threshold=distributed_cc_threshold,
+        cc_metrics=cc_metrics,
+    )
+
+
+def clusters_from_signatures(
+    sigs,
+    bands: int,
+    id_col: str = "doc_id",
+    salt_buckets: int | None = None,
+    local_threshold: int = 20_000,
+    distributed_cc_threshold: int = 2_000_000,
+    cc_metrics: list | None = None,
+) -> pa.Table:
+    """Signature Dataset (id, sig, n_shingles) -> near-dup clusters
+    (id, cluster_id = min member id): LSH banding -> candidate star edges
+    -> connected components.
+
     Clustering path auto-switches on edge count: at or below
     `distributed_cc_threshold` edges, union-find streams the edge batches
     on the driver (edges ~ #dup-docs, orders of magnitude below the
@@ -245,9 +272,8 @@ def near_dup_clusters(
     never holds the edge set). Set the threshold to 0 to force the
     distributed path; `cc_metrics` receives its per-round convergence rows.
     """
-    edges = near_dup_pairs(
-        ds, algo, opts, num_perm, bands, seed, id_col, text_col,
-        salt_buckets=salt_buckets, concurrency=concurrency, shingle=shingle,
+    edges = candidate_pairs(
+        sigs, bands=bands, id_col=id_col, salt_buckets=salt_buckets,
         local_threshold=local_threshold,
     ).materialize()
     if edges.count() > distributed_cc_threshold:

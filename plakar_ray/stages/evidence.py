@@ -67,6 +67,21 @@ def _token_hash(tok: str) -> int:
     return h
 
 
+def _doc_sig(text: str, perms: np.ndarray) -> tuple[np.ndarray | None, int]:
+    """One doc's (signature, n_shingles) over DISTINCT word 3-grams; None
+    when the doc has fewer than 3 tokens (no shingle exists)."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < 3:
+        return None, 0
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    hs = np.fromiter(
+        (md5u64(s.encode()) for s in shingles),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+    return (hs[:, None] ^ perms[None, :]).min(axis=0), len(shingles)
+
+
 def ngram_minhash_sig_batch(
     batch: pa.Table,
     id_col: str = "doc_id",
@@ -82,19 +97,11 @@ def ngram_minhash_sig_batch(
     out_ids: list[int] = []
     out_mins: list[np.ndarray] = []
     for did, text in zip(ids, texts):
-        toks = _TOKEN_RE.findall(text.lower())
-        if len(toks) < 3:
+        mins, _ = _doc_sig(text, perms)
+        if mins is None:
             continue
-        shingles = {
-            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
-        }
-        hs = np.fromiter(
-            (md5u64(s.encode()) for s in shingles),
-            dtype=np.uint64,
-            count=len(shingles),
-        )
         out_ids.append(did)
-        out_mins.append((hs[:, None] ^ perms[None, :]).min(axis=0))
+        out_mins.append(mins)
     k = len(out_ids)
     mins = (
         np.stack(out_mins) if k else np.empty((0, num_perm), dtype=np.uint64)
@@ -104,6 +111,43 @@ def ngram_minhash_sig_batch(
             id_col: pa.array(np.repeat(np.asarray(out_ids, dtype=np.int64), num_perm)),
             "perm_id": pa.array(np.tile(np.arange(num_perm, dtype=np.int64), k)),
             "minhash64": pa.array(mins.reshape(-1), type=pa.uint64()),
+        }
+    )
+
+
+def ngram_minhash_sig_wide_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+) -> pa.Table:
+    """(doc_id, sig: fixed_size_list<uint64>[num_perm], n_shingles) — the
+    SAME schema stages/minhash.MinHashStage emits, so the production LSH
+    banding / candidate-pair / connected-components tail (stages/lsh.py,
+    pipelines/dedup.clusters_from_signatures) runs unchanged over these
+    driver-reproducible signatures. Docs without a shingle get n_shingles=0
+    (filtered by BandStage's min_shingles gate, exactly like production)."""
+    perms = perm_constants(num_perm)
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    texts = batch.column(text_col).to_pylist()
+    n = len(batch)
+    sigs = np.full((n, num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    n_sh = np.zeros(n, dtype=np.int32)
+    for i, text in enumerate(texts):
+        mins, k = _doc_sig(text, perms)
+        if mins is not None:
+            sigs[i] = mins
+            n_sh[i] = k
+    sig_arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(sigs.reshape(-1), type=pa.uint64()), num_perm
+    )
+    return pa.table(
+        {
+            id_col: ids,
+            "sig": sig_arr,
+            "n_shingles": pa.array(n_sh, type=pa.int32()),
         }
     )
 
@@ -167,6 +211,16 @@ def ngram_minhash_signatures(
 def simhash_md5(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(
         lambda b: simhash_md5_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def ngram_minhash_signatures_wide(
+    ds, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 16
+):
+    return ds.map_batches(
+        lambda b: ngram_minhash_sig_wide_batch(b, id_col, text_col, num_perm),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
