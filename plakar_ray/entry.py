@@ -216,6 +216,35 @@ def q_minhash_lsh_clusters_md5(sf_dir: str) -> pa.Table:
     )
 
 
+def q_simhash_pairs_md5(sf_dir: str) -> pa.Table:
+    """The production pigeonhole pipeline (simhash_pieces_batch ->
+    pieces_to_pairs: piece exchange + bucket Hamming verify — the exact
+    machinery of simhash_pairs) over md5 evidence simhashes. Pigeonhole is
+    complete for hamming <= bands-1, so the verified pair set equals the
+    oracle's all-pairs bit_count(xor) <= 3 exactly."""
+    from plakar_ray.stages.evidence import simhash_md5
+    from plakar_ray.stages.simhash import pieces_to_pairs, simhash_pieces_batch
+
+    sketches = simhash_md5(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: b.rename_columns(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+    pieces = sketches.map_batches(
+        lambda b: simhash_pieces_batch(b, 4, "doc_id"), batch_format="pyarrow"
+    )
+    out = (
+        pieces_to_pairs(pieces, max_hamming=3)
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["id_a", "id_b"])
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"], type=pa.int64()),
+            "id_b": pa.array(out["id_b"], type=pa.int64()),
+        }
+    )
+
+
 def q_doc_text_stats(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.text import doc_text_stats
 
@@ -720,6 +749,7 @@ def queries():
         "ngram_minhash_sigs": q_ngram_minhash_sigs,
         "simhash64": q_simhash64,
         "minhash_lsh_clusters_md5": q_minhash_lsh_clusters_md5,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -961,6 +991,30 @@ def oracle_sql():
             SELECT doc_id,
                    sum(CASE WHEN s > 0 THEN (1::HUGEINT << b::INT) ELSE 0::HUGEINT END)::UBIGINT AS simhash64
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        # All-pairs hamming over the simhash64 CTE — exact because the Ray
+        # side's pigeonhole banding is complete for max_hamming <= bands-1.
+        "simhash_pairs_md5": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id, md5_number_upper(tok) AS hv FROM toks
+            ), bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (hv >> b.b::INT) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS s
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::HUGEINT << b::INT) ELSE 0::HUGEINT END)::UBIGINT AS sh
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY id_a, id_b
         """,
         "pages_extract_digests": """
             SELECT 'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
