@@ -245,6 +245,28 @@ def q_simhash_pairs_md5(sf_dir: str) -> pa.Table:
     )
 
 
+def q_embedding_srp_pairs_md5(sf_dir: str) -> pa.Table:
+    """Driver-verifiable SRP bucketing: deterministic md5 hyperplanes +
+    exact integer dots through the production pigeonhole tail
+    (stages/evidence.srp_candidate_pairs_md5) — the SQL-checkable twin of
+    embedding_lsh_pairs' seeded-gaussian sketch."""
+    from plakar_ray.stages.evidence import srp_candidate_pairs_md5
+
+    out = (
+        srp_candidate_pairs_md5(_embeddings(sf_dir), bands=4, n_bits=16)
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["id_a", "id_b"])
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(out["id_a"], type=pa.int64()),
+            "id_b": pa.array(out["id_b"], type=pa.int64()),
+            "cosine_est": pa.array(out["cosine_est"], type=pa.float64()),
+        }
+    )
+
+
 def q_doc_text_stats(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.text import doc_text_stats
 
@@ -750,6 +772,7 @@ def queries():
         "simhash64": q_simhash64,
         "minhash_lsh_clusters_md5": q_minhash_lsh_clusters_md5,
         "simhash_pairs_md5": q_simhash_pairs_md5,
+        "embedding_srp_pairs_md5": q_embedding_srp_pairs_md5,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1014,6 +1037,44 @@ def oracle_sql():
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        # Exact-integer SRP: quantization floor(e * 2^30 + 0.5) is
+        # bit-identical in IEEE double on both engines, hyperplane signs are
+        # md5 top bits, so sketches match exactly; candidates = band
+        # self-join; cosine_est = cos(pi * hamming / 16) (rounding parity of
+        # all 17 values checked).
+        "embedding_srp_pairs_md5": """
+            WITH q AS (
+              SELECT vec_id, d.d AS d,
+                     floor(embedding[(d.d+1)::INT]::DOUBLE * 1073741824 + 0.5)::BIGINT AS qv
+              FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS d) d
+            ), dots AS (
+              SELECT vec_id, j.j AS j,
+                     sum(qv * (CASE WHEN (md5_number_upper('hp-' || j.j || '-' || d) >> 63) = 0::UBIGINT
+                               THEN 1 ELSE -1 END)) AS s
+              FROM q CROSS JOIN (SELECT unnest(range(16)) AS j) j
+              GROUP BY vec_id, j.j
+            ), bits AS (
+              SELECT vec_id, j, CASE WHEN s > 0 THEN 1 ELSE 0 END AS bit FROM dots
+            ), bands AS (
+              SELECT vec_id, (j // 4)::INT AS band_id,
+                     sum(bit * (1 << (j % 4)::INT))::INT AS piece
+              FROM bits GROUP BY vec_id, (j // 4)::INT
+            ), sk AS (
+              SELECT vec_id,
+                     sum(CASE WHEN bit = 1 THEN (1::HUGEINT << j::INT) ELSE 0::HUGEINT END)::UBIGINT AS sketch
+              FROM bits GROUP BY vec_id
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.piece = b.piece AND a.vec_id < b.vec_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(cos(pi() * bit_count(xor(sa.sketch, sb.sketch)) / 16.0), 6) AS cosine_est
+            FROM cand c
+            JOIN sk sa ON sa.vec_id = c.id_a
+            JOIN sk sb ON sb.vec_id = c.id_b
             ORDER BY id_a, id_b
         """,
         "pages_extract_digests": """

@@ -224,3 +224,81 @@ def ngram_minhash_signatures_wide(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# --------------------------- SRP (hyperplane) evidence sketches ------------
+
+_SRP_QUANT = float(1 << 30)
+_srp_signs_cache: dict[tuple[int, int], np.ndarray] = {}
+
+
+def srp_sign_matrix(n_bits: int, dim: int) -> np.ndarray:
+    """(n_bits, dim) ±1 hyperplane matrix from md5 bits — deterministic and
+    DuckDB-reproducible (sign = top bit of md5_number_upper('hp-<j>-<d>'))."""
+    key = (n_bits, dim)
+    m = _srp_signs_cache.get(key)
+    if m is None:
+        m = np.array(
+            [
+                [1 if (md5u64(b"hp-%d-%d" % (j, d)) >> 63) == 0 else -1 for d in range(dim)]
+                for j in range(n_bits)
+            ],
+            dtype=np.int64,
+        )
+        _srp_signs_cache[key] = m
+    return m
+
+
+def srp_sketch_batch(
+    batch: pa.Table,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+) -> pa.Table:
+    """(vec_id, simhash): SRP sketch with EXACT integer dot products — each
+    component is quantized floor(e * 2^30 + 0.5) (bit-identical in IEEE
+    double on both engines: *2^30 is exact, the +0.5 and floor round the
+    same way), so bit j = [sum_d q_d * sign_jd > 0] is integer-exact and the
+    sketch is reproducible by the driver's oracle. The sign of the dot is
+    scale-invariant, so raw (unnormalized) embeddings give the same bits as
+    the production normalized path (stages/embed.hyperplane_lsh_pairs)."""
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    emb = batch.column(vec_col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    n = len(batch)
+    flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    dim = flat.shape[0] // max(n, 1)
+    q = np.floor(flat.reshape(n, dim) * _SRP_QUANT + 0.5).astype(np.int64)
+    signs = srp_sign_matrix(n_bits, dim)
+    bits = (q @ signs.T) > 0
+    sk = (bits.astype(np.uint64) << np.arange(n_bits, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table({id_col: ids, "simhash": pa.array(sk, type=pa.uint64())})
+
+
+def srp_candidate_pairs_md5(
+    ds, bands: int = 4, n_bits: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic-hyperplane SRP bucketing through the production
+    pigeonhole tail (simhash_pieces_batch + pieces_to_pairs): pairs sharing
+    at least one of `bands` sketch pieces, each carrying the
+    sketch-estimated cosine. max_hamming = n_bits makes the Hamming verify
+    a no-op, so the pair set is exactly the band-collision candidate set —
+    what the SQL oracle reproduces with a band self-join."""
+    from plakar_ray.stages.simhash import pieces_to_pairs, simhash_pieces_batch
+
+    sketches = ds.map_batches(
+        lambda b: srp_sketch_batch(b, id_col, vec_col, n_bits),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pieces = sketches.map_batches(
+        lambda b: simhash_pieces_batch(b, bands, id_col, n_bits=n_bits),
+        batch_format="pyarrow",
+    )
+    return pieces_to_pairs(pieces, max_hamming=n_bits, id_col=id_col, n_bits=n_bits)

@@ -98,11 +98,16 @@ class SimHashStage:
         )
 
 
-def simhash_pieces_batch(batch: pa.Table, bands: int, id_col: str) -> pa.Table:
-    """(id, simhash) -> (id, piece_id, piece, simhash) band rows."""
+def simhash_pieces_batch(
+    batch: pa.Table, bands: int, id_col: str, n_bits: int = 64
+) -> pa.Table:
+    """(id, simhash) -> (id, piece_id, piece, simhash) band rows. `n_bits`
+    is the populated sketch width (16 for the SRP evidence sketches; pieces
+    over the full 64 would put every doc in the same all-zero high-piece
+    buckets)."""
     sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
     n = sh.shape[0]
-    width = 64 // bands
+    width = n_bits // bands
     mask = _U64((1 << width) - 1)
     pieces = np.stack(
         [(sh >> _U64(width * j)) & mask for j in range(bands)], axis=1
