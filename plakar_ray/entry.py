@@ -3,9 +3,18 @@
 Every operator family from SURVEY.md §2 has a queries() entry; where the
 semantics are SQL-expressible the matching DuckDB oracle reproduces values
 exactly (same regex engine, integer metrics, deterministic tie-breaks).
-CDC chunking, MinHash/LSH, SimHash and IVF are not SQL-expressible — those
-get rows-only checks and are instead value-verified by the pytest suite
-(golden parity, recall gates, oracle parity tests).
+
+The remaining rows-only queries are exactly those whose values depend on
+CDC chunk boundaries (value-verified by golden/differential parity with the
+Go reference) or on seeded RNG (Go math/rand parity, recall gates) — and
+every such family ALSO ships a driver-verified md5 "evidence twin"
+(stages/evidence.py) that runs the same production machinery over a
+DuckDB-reproducible hash family: ngram_minhash_sigs / minhash_lsh_clusters_md5
+(MinHash sig + LSH banding + connected components), simhash64 /
+simhash_pairs_md5 (SimHash + pigeonhole pairs), embedding_srp_pairs_md5
+(SRP bucketing with exact integer hyperplane dots), doc_fingerprints_mul
+(winnowing fingerprint), plus the fixed-chunker twins of every CDC
+analytics query.
 
 Ray is initialised by the caller (driver/bench/tests); nothing here calls
 ray.init().

@@ -1,0 +1,74 @@
+"""Unit gates for the md5 evidence twins (stages/evidence.py) beyond the
+DuckDB oracle parity checked in test_entry.py."""
+
+import numpy as np
+import pyarrow as pa
+
+from plakar_ray.stages import evidence as ev
+
+
+def _batch(texts, ids=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids or list(range(n)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def test_wide_and_long_signatures_agree():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",  # < 3 tokens: absent from long, n_shingles 0 in wide
+        "",
+        "alpha beta gamma alpha beta gamma delta",
+    ]
+    long = ev.ngram_minhash_sig_batch(_batch(texts), num_perm=8)
+    wide = ev.ngram_minhash_sig_wide_batch(_batch(texts), num_perm=8)
+    # counts are DISTINCT shingles: doc 3 has 5 trigrams, one repeated
+    assert wide.column("n_shingles").to_pylist() == [7, 0, 0, 4]
+    sigs = np.array(wide.column("sig").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )).reshape(4, 8)
+    by_doc = {}
+    for did, pid, mh in zip(
+        long.column("doc_id").to_pylist(),
+        long.column("perm_id").to_pylist(),
+        long.column("minhash64").to_pylist(),
+    ):
+        by_doc.setdefault(did, [0] * 8)[pid] = mh
+    assert set(by_doc) == {0, 3}
+    assert by_doc[0] == [int(x) for x in sigs[0]]
+    assert by_doc[3] == [int(x) for x in sigs[3]]
+    # shingle-less docs carry the sentinel signature (filtered by BandStage)
+    assert (sigs[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_simhash_md5_token_cache_consistency():
+    texts = ["red green blue", "blue green red red"]  # distinct-token equal
+    cold = ev.simhash_md5_batch(_batch(texts))
+    ev._TOK_CACHE.clear()
+    warm_miss = ev.simhash_md5_batch(_batch(texts))
+    assert cold.equals(warm_miss)
+    # distinct-token semantics: same token set => same sketch
+    sh = cold.column("simhash64").to_pylist()
+    assert sh[0] == sh[1]
+
+
+def test_srp_sketch_scale_invariant():
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((32, 64)).astype(np.float32)
+    def tbl(m):
+        flat = pa.array(m.reshape(-1).astype(np.float32), type=pa.float32())
+        return pa.table(
+            {
+                "vec_id": pa.array(range(m.shape[0]), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(flat, 64),
+            }
+        )
+    a = ev.srp_sketch_batch(tbl(emb))
+    b = ev.srp_sketch_batch(tbl(emb * 4.0))  # power-of-two: exact scaling
+    assert a.column("simhash").equals(b.column("simhash"))
+    # 16-bit sketches only
+    assert max(a.column("simhash").to_pylist()) < (1 << 16)
