@@ -490,6 +490,40 @@ def q_embedding_ivf_topk(sf_dir: str) -> pa.Table:
     )
 
 
+N_IVF_DET_CENTROIDS = 16
+IVF_DET_PROBE = 4
+
+
+def q_embedding_ivf_topk_det(sf_dir: str) -> pa.Table:
+    """Driver-verifiable IVF search: the production assign/probe/rerank
+    machinery (stages/embed.ivf_topk) with FIXED centroids (the first 16
+    vectors), so a DuckDB oracle reproduces cell assignment, probe choice
+    and the reranked top-k exactly — the SQL-checkable twin of
+    embedding_ivf_topk's sampled-kmeans fit."""
+    import pyarrow.parquet as pq
+
+    from plakar_ray.stages.embed import ivf_topk
+
+    ids, vecs = _query_vectors(sf_dir)
+    cent_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(cent_t.column("vec_id").to_numpy())[:N_IVF_DET_CENTROIDS]
+    cent = np.stack(
+        [np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
+    )
+    t = ivf_topk(
+        _embeddings(sf_dir), vecs, ids, k=TOPK_K, n_probe=IVF_DET_PROBE,
+        centroids=cent,
+    )
+    return pa.table(
+        {
+            "query_id": t.column("query_id"),
+            "rank": t.column("rank").cast(pa.int64()),
+            "neighbor_id": t.column("neighbor_id"),
+            "cosine": t.column("cosine"),
+        }
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.35
 
 
@@ -782,6 +816,7 @@ def queries():
         "minhash_lsh_clusters_md5": q_minhash_lsh_clusters_md5,
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "embedding_srp_pairs_md5": q_embedding_srp_pairs_md5,
+        "embedding_ivf_topk_det": q_embedding_ivf_topk_det,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1165,6 +1200,46 @@ def oracle_sql():
               SELECT query_id, neighbor_id, cos,
                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               FROM sims
+            )
+            SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= {TOPK_K}
+            ORDER BY query_id, rank
+        """,
+        "embedding_ivf_topk_det": f"""
+            WITH c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < {N_IVF_DET_CENTROIDS}
+            ), e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), assign AS (
+              SELECT e.vec_id, arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+              FROM e CROSS JOIN c GROUP BY e.vec_id
+            ), q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < {N_QUERIES_TOPK}
+            ), probes AS (
+              SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC
+                       ) AS rn
+                FROM q CROSS JOIN c
+              ) WHERE rn <= {IVF_DET_PROBE}
+            ), cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.cell = p.cid
+              WHERE a.vec_id <> p.query_id
+            ), ranked AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     list_cosine_similarity(q.qv, e.v) AS cos,
+                     row_number() OVER (
+                       PARTITION BY cd.query_id
+                       ORDER BY list_cosine_similarity(q.qv, e.v) DESC, cd.neighbor_id ASC
+                     ) AS rank
+              FROM cand cd
+              JOIN q ON q.query_id = cd.query_id
+              JOIN e ON e.vec_id = cd.neighbor_id
             )
             SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= {TOPK_K}

@@ -106,26 +106,35 @@ def ivf_topk(
     seed: int = 11,
     sample_size: int = 2048,
     exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF approximate top-k: k-means centroids fitted on a sample
     (driver-side, few iterations), vectors assigned to centroids inside
     map_batches (centroids broadcast), search restricted to the n_probe
-    closest centroids per query. Same output schema as brute_force_topk."""
+    closest centroids per query. Same output schema as brute_force_topk.
+
+    `centroids` (optional, raw vectors — normalized here) skips the k-means
+    fit; used by the driver-verified deterministic twin
+    (entry.q_embedding_ivf_topk_det), which probes fixed centroids a DuckDB
+    oracle can reproduce."""
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()
-    sm = _normalize(
-        np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    )
-    rng = np.random.default_rng(seed)
-    cent = sm[rng.choice(sm.shape[0], size=min(n_clusters, sm.shape[0]), replace=False)]
-    for _ in range(8):  # Lloyd iterations on the sample
-        assign = (sm @ cent.T).argmax(axis=1)
-        for c in range(cent.shape[0]):
-            members = sm[assign == c]
-            if members.shape[0]:
-                cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        sample = ds.limit(sample_size).to_pandas()
+        sm = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+        )
+        rng = np.random.default_rng(seed)
+        cent = sm[rng.choice(sm.shape[0], size=min(n_clusters, sm.shape[0]), replace=False)]
+        for _ in range(8):  # Lloyd iterations on the sample
+            assign = (sm @ cent.T).argmax(axis=1)
+            for c in range(cent.shape[0]):
+                members = sm[assign == c]
+                if members.shape[0]:
+                    cent[c] = members.mean(axis=0)
+            cent = _normalize(cent)
     cent_ref = ray.put(cent)
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
