@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import sys
 
+import plakar_ray.competitors  # noqa: F401  (registers 'buzhash' for --algo)
 from plakar_ray.opts import ChunkerOpts
 
 

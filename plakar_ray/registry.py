@@ -65,6 +65,15 @@ def register_chunker(spec: AlgorithmSpec) -> None:
 
 def get_algorithm(name: str) -> AlgorithmSpec:
     if name not in ALGORITHMS:
+        # Extension algorithms register on module import; a Ray worker
+        # process may not have imported them yet (the registry dict is
+        # per-process), so resolve misses through the extension module
+        # once before failing.
+        try:
+            import plakar_ray.competitors  # noqa: F401
+        except ImportError:
+            pass
+    if name not in ALGORITHMS:
         raise KeyError(f"unknown algorithm: {name}")
     return ALGORITHMS[name]
 
