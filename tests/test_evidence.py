@@ -72,3 +72,27 @@ def test_srp_sketch_scale_invariant():
     assert a.column("simhash").equals(b.column("simhash"))
     # 16-bit sketches only
     assert max(a.column("simhash").to_pylist()) < (1 << 16)
+
+
+def test_md5_clusters_distributed_path_identical(ray_session):
+    """clusters_from_signatures over the md5 evidence signatures: the
+    size-gated driver-local path (what the driver's DuckDB oracle
+    value-checks) and the distributed hash-partition exchange +
+    label-propagation path produce identical cluster tables — extending the
+    oracle's guarantee to the distributed tail."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+    from plakar_ray.pipelines.dedup import clusters_from_signatures
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = ev.ngram_minhash_signatures_wide(ray.data.from_arrow(t), num_perm=16)
+    local = clusters_from_signatures(sigs.materialize(), bands=4)
+    sigs2 = ev.ngram_minhash_signatures_wide(ray.data.from_arrow(t), num_perm=16)
+    dist = clusters_from_signatures(
+        sigs2.materialize(), bands=4, local_threshold=0, distributed_cc_threshold=0
+    )
+    assert local.num_rows > 0
+    assert local.equals(dist)

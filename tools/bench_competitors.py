@@ -50,6 +50,40 @@ def main() -> None:
         }
         print(f"{algo:16s} {rows[algo]['mb_per_s']:8.1f} MB/s  "
               f"{rows[algo]['chunks']:7d} chunks  mean {rows[algo]['mean_len']}")
+    # Comparative CDC quality, mirroring the reference's analyze/resync
+    # metrics (cmd/cdc/stats.go, cmd/cdc/resync.go): dedup ratio on a 2x
+    # duplicated corpus, and resync shared% after 64 random insertions.
+    import hashlib
+
+    base = rng.integers(0, 256, size=16 << 20, dtype=np.uint8)
+    dup_doc = np.concatenate([base, base])
+    edited = base.copy()
+    ins_pos = np.sort(rng.integers(0, base.shape[0], size=64))
+    ins_byte = rng.integers(0, 256, size=64, dtype=np.uint8)
+    edited = np.insert(edited, ins_pos, ins_byte)
+
+    def digests(doc, lens):
+        ends = np.cumsum(lens)
+        out = {}
+        for e, ln in zip(ends.tolist(), lens.tolist()):
+            out.setdefault(hashlib.sha256(doc[e - ln : e].tobytes()).digest(), ln)
+        return out
+
+    for algo in ALGOS:
+        lens = chunk_lengths(algo, dup_doc, opts)
+        d = digests(dup_doc, lens)
+        rows[algo]["dedup_ratio_2x"] = round(sum(d.values()) / dup_doc.shape[0], 4)
+        orig = digests(base, chunk_lengths(algo, base, opts))
+        lens_e = chunk_lengths(algo, edited, opts)
+        ends = np.cumsum(lens_e)
+        shared = sum(
+            ln for e, ln in zip(ends.tolist(), lens_e.tolist())
+            if hashlib.sha256(edited[e - ln : e].tobytes()).digest() in orig
+        )
+        rows[algo]["resync_shared_pct_64ins"] = round(100.0 * shared / edited.shape[0], 2)
+        print(f"{algo:16s} dedup_2x {rows[algo]['dedup_ratio_2x']:.4f}  "
+              f"resync {rows[algo]['resync_shared_pct_64ins']:.2f}%")
+
     out = {
         "metric": "competitor_chunking_mb_per_s_single_core",
         "config": "2K/8K/64K seeded random",
