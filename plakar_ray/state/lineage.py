@@ -116,14 +116,20 @@ def run_stage(
         os.replace(tmp, path)
         return part.part_id, table.num_rows, time.time() - t0
 
-    results = []
     if todo:
-        opts = {}
-        refs = [_one.options(**opts).remote(p) for p in todo]
-        results = ray.get(refs)
-        by_id = {p.part_id: p for p in todo}
-        for part_id, rows, wall in results:
-            log.mark(by_id[part_id], rows, wall)
+        # Mark each partition durable AS ITS TASK COMPLETES (ray.wait), not
+        # after an all-task barrier: a mid-stage crash then loses only the
+        # in-flight partitions, and a resume skips everything already
+        # finished. (Surfaced by tools/resume_demo.py — the previous
+        # ray.get(all) gather meant a crash before the barrier dropped every
+        # manifest even though the partition parquet files were durable.)
+        ref_to_part = {_one.remote(p): p for p in todo}
+        pending = list(ref_to_part)
+        while pending:
+            done_refs, pending = ray.wait(pending, num_returns=1)
+            for r in done_refs:
+                part_id, rows, wall = ray.get(r)
+                log.mark(ref_to_part[r], rows, wall)
 
     import ray.data
 
