@@ -290,6 +290,238 @@ def boundaries_jc(
     return np.asarray(lengths, dtype=np.int64)
 
 
+# --------------------- batched multi-document warm-up frontier -------------
+#
+# ChunkerStage hands the kernels a whole batch (one contiguous buffer +
+# doc offsets). The per-segment warm-up calls in boundaries_fastcdc /
+# boundaries_jc are numpy-launch-overhead-bound (~18 us for 63 elements,
+# ~25% of JC wall time at 2 warm-ups per chunk), so the multi-doc drivers
+# below advance every document's scan frontier in WAVES: each wave gathers
+# all active segments' warm windows with one fancy-index and computes their
+# prefix fingerprints with one axis-1 log-doubling — a handful of numpy
+# calls per wave instead of per segment. Results are cutpoint-identical to
+# the per-document kernels (pinned by
+# tests/test_kernels_differential.py::test_multi_doc_matches_per_doc).
+
+
+def _warm_rows(
+    data: np.ndarray, abs_starts: np.ndarray, warm_lens: np.ndarray, gear: np.ndarray
+) -> np.ndarray:
+    """(n_active, 63) exact prefix-window fps for many scan segments at
+    once. Bytes beyond each row's warm_len are zeroed pre-scan (a zero gear
+    value contributes nothing to later prefixes and the caller masks those
+    columns out of the hit test)."""
+    cols = np.arange(63)
+    idx = abs_starts[:, None] + cols[None, :]
+    np.clip(idx, 0, max(data.shape[0] - 1, 0), out=idx)
+    h = gear[data[idx]]
+    h[cols[None, :] >= warm_lens[:, None]] = _U64(0)
+    for k in range(6):
+        s = 1 << k
+        h[:, s:] += h[:, :-s] << _U64(s)
+    return h
+
+
+def boundaries_fastcdc_multi(
+    data: np.ndarray,
+    doc_offsets: np.ndarray,
+    opts: ChunkerOpts,
+    mask_s: int,
+    mask_l: int,
+    gear: np.ndarray = GEAR,
+) -> list[np.ndarray]:
+    """FastCDC over every document of a batch buffer; one warm-up wave per
+    chunk generation across all still-active documents."""
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
+    ms, ml = _U64(mask_s), _U64(mask_l)
+    ims, iml = int(mask_s), int(mask_l)
+    n_docs = len(doc_offsets) - 1
+    out: list = [None] * n_docs
+    cands: list = [None] * n_docs
+    lengths: list[list[int]] = [[] for _ in range(n_docs)]
+    jptr = [0] * n_docs
+    s_pos = [0] * n_docs
+
+    for d in range(n_docs):
+        doc = data[doc_offsets[d] : doc_offsets[d + 1]]
+        total = doc.shape[0]
+        if total == 0:
+            out[d] = np.empty(0, dtype=np.int64)
+        elif total <= min_size:
+            out[d] = np.array([total], dtype=np.int64)
+        else:
+            cands[d] = _gear_candidates(
+                doc, gear,
+                lambda f: ((f & ms) == 0) | ((f & ml) == 0),
+                premask=mask_s & mask_l,
+            )
+
+    active = [d for d in range(n_docs) if out[d] is None]
+    cols = np.arange(63)
+    while active:
+        rows = []
+        for d in active:
+            total = int(doc_offsets[d + 1] - doc_offsets[d])
+            s = s_pos[d]
+            n = min(total - s, max_size)
+            if n <= min_size:
+                lengths[d].append(n)
+                out[d] = np.asarray(lengths[d], dtype=np.int64)
+                continue
+            normal_eff = normal_size if n > normal_size else n
+            scan_start = s + min_size
+            warm_end = min(scan_start + 63, s + n)
+            rows.append((d, n, normal_eff, scan_start, warm_end - scan_start))
+        if not rows:
+            break
+        abs_starts = np.array(
+            [doc_offsets[r[0]] + r[3] for r in rows], dtype=np.int64
+        )
+        warm_lens = np.array([r[4] for r in rows], dtype=np.int64)
+        fps = _warm_rows(data, abs_starts, warm_lens, gear)
+        neff = np.array([r[2] for r in rows], dtype=np.int64)
+        masks = np.where((min_size + cols)[None, :] < neff[:, None], ms, ml)
+        hitm = ((fps & masks) == 0) & (cols[None, :] < warm_lens[:, None])
+        has = hitm.any(axis=1)
+        first = hitm.argmax(axis=1)
+        for r_i, (d, n, normal_eff, scan_start, wl) in enumerate(rows):
+            s = s_pos[d]
+            total = int(doc_offsets[d + 1] - doc_offsets[d])
+            cut = -1
+            if has[r_i]:
+                cut = scan_start + int(first[r_i])
+            else:
+                cand_pos, cand_fp = cands[d]
+                j = bisect_left(cand_pos, scan_start + wl, jptr[d])
+                end = s + n
+                switch = s + normal_eff
+                n_cand = len(cand_pos)
+                while j < n_cand:
+                    p = cand_pos[j]
+                    if p >= end:
+                        break
+                    m = ims if p < switch else iml
+                    if (cand_fp[j] & m) == 0:
+                        cut = p
+                        break
+                    j += 1
+                jptr[d] = j
+            cut_len = (cut - s) if cut >= 0 else n
+            lengths[d].append(cut_len)
+            s_pos[d] = s + cut_len
+            if s_pos[d] >= total:
+                out[d] = np.asarray(lengths[d], dtype=np.int64)
+        active = [d for d in active if out[d] is None]
+    for d in range(n_docs):
+        if out[d] is None:
+            out[d] = np.asarray(lengths[d], dtype=np.int64)
+    return out
+
+
+def boundaries_jc_multi(
+    data: np.ndarray,
+    doc_offsets: np.ndarray,
+    opts: ChunkerOpts,
+    mask_c: int,
+    mask_j: int,
+    jump_length: int,
+    spec_faithful: bool,
+    gear: np.ndarray = GEAR,
+) -> list[np.ndarray]:
+    """JC over every document of a batch buffer; one warm-up wave per scan
+    SEGMENT generation (jumps spawn segments) across all active documents."""
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
+    mj = _U64(mask_j)
+    imc = int(mask_c)
+    n_docs = len(doc_offsets) - 1
+    out: list = [None] * n_docs
+    cands: list = [None] * n_docs
+    lengths: list[list[int]] = [[] for _ in range(n_docs)]
+    s_pos = [0] * n_docs
+    # pending[d] = (s, n, seg) — chunk context awaiting this wave's segment
+    pending: dict[int, tuple[int, int, int]] = {}
+
+    for d in range(n_docs):
+        doc = data[doc_offsets[d] : doc_offsets[d + 1]]
+        if doc.shape[0] == 0:
+            out[d] = np.empty(0, dtype=np.int64)
+        else:
+            cands[d] = _gear_candidates(doc, gear, None, premask=mask_j)
+
+    def advance_outer(d: int) -> None:
+        """Open the next chunk (handling terminal guards) or finish the doc;
+        mirrors boundaries_jc's outer loop head."""
+        total = int(doc_offsets[d + 1] - doc_offsets[d])
+        s = s_pos[d]
+        if s >= total:
+            out[d] = np.asarray(lengths[d], dtype=np.int64)
+            return
+        n = min(total - s, max_size)
+        if (not spec_faithful and n <= normal_size) or n <= min_size:
+            lengths[d].append(n)
+            out[d] = np.asarray(lengths[d], dtype=np.int64)
+            return
+        pending[d] = (s, n, s + min_size)
+
+    def complete_chunk(d: int, s: int, n: int, cut: int) -> None:
+        cut_len = (cut - s) if cut >= 0 else n
+        lengths[d].append(cut_len)
+        s_pos[d] = s + cut_len
+        if cut_len < min_size:
+            out[d] = np.asarray(lengths[d], dtype=np.int64)
+            return
+        advance_outer(d)
+
+    for d in range(n_docs):
+        if out[d] is None:
+            advance_outer(d)
+
+    cols = np.arange(63)
+    while pending:
+        rows = list(pending.items())  # [(d, (s, n, seg))]
+        pending = {}
+        abs_starts = np.array(
+            [doc_offsets[d] + seg for d, (s, n, seg) in rows], dtype=np.int64
+        )
+        warm_lens = np.array(
+            [min(seg + 63, s + n) - seg for d, (s, n, seg) in rows], dtype=np.int64
+        )
+        fps = _warm_rows(data, abs_starts, warm_lens, gear)
+        hitm = ((fps & mj) == 0) & (cols[None, :] < warm_lens[:, None])
+        has = hitm.any(axis=1)
+        first = hitm.argmax(axis=1)
+        for r_i, (d, (s, n, seg)) in enumerate(rows):
+            end = s + n
+            if has[r_i]:
+                t = int(first[r_i])
+                event = seg + t
+                event_fp = int(fps[r_i, t])
+            else:
+                cand_pos, cand_fp = cands[d]
+                warm_end = min(seg + 63, end)
+                j = bisect_left(cand_pos, warm_end)
+                if j < len(cand_pos) and cand_pos[j] < end:
+                    event = cand_pos[j]
+                    event_fp = cand_fp[j]
+                else:
+                    event = -1
+                    event_fp = 0
+            if event < 0:
+                complete_chunk(d, s, n, -1)
+            elif (event_fp & imc) == 0:
+                complete_chunk(d, s, n, event)
+            else:
+                seg2 = event + jump_length
+                if seg2 < end:
+                    pending[d] = (s, n, seg2)
+                else:
+                    complete_chunk(d, s, n, -1)
+    for d in range(n_docs):
+        if out[d] is None:
+            out[d] = np.asarray(lengths[d], dtype=np.int64)
+    return out
+
+
 _POPCOUNT_AA = np.array([bin(b ^ 0xAA).count("1") for b in range(256)], dtype=np.int64)
 _POPCOUNT_AA_U8 = _POPCOUNT_AA.astype(np.uint8)
 

@@ -39,6 +39,11 @@ class AlgorithmSpec:
     validate: Callable[[ChunkerOpts], None]
     oracle_cut: Callable[..., int]  # (cfg, opts, data: bytes, n) -> int
     boundaries: Callable[..., np.ndarray]  # (cfg, opts, data: np.uint8[:]) -> int64 lengths
+    # Optional batched form: (cfg, opts, batch_buffer, doc_offsets) ->
+    # list of per-doc int64 length arrays. Cutpoint-identical to per-doc
+    # `boundaries`; exists where per-segment warm-up launch overhead is
+    # worth amortizing across a whole map_batches batch (fastcdc/jc).
+    boundaries_multi: Callable[..., list] | None = None
 
     def resolve_opts(self, opts: ChunkerOpts | None) -> ChunkerOpts:
         """Zero-value back-fill from defaults (chunkers.go:86-98)."""
@@ -93,6 +98,11 @@ def _mk_fastcdc(name: str, legacy: bool, keyed: bool) -> AlgorithmSpec:
     def bnd(cfg, o, data):
         return kernels.boundaries_fastcdc(data, o, cfg["mask_s"], cfg["mask_l"], cfg["gear"])
 
+    def bnd_multi(cfg, o, data, doc_offsets):
+        return kernels.boundaries_fastcdc_multi(
+            data, doc_offsets, o, cfg["mask_s"], cfg["mask_l"], cfg["gear"]
+        )
+
     return AlgorithmSpec(
         name=name,
         defaults=DEFAULTS_FASTCDC,
@@ -100,6 +110,7 @@ def _mk_fastcdc(name: str, legacy: bool, keyed: bool) -> AlgorithmSpec:
         validate=lambda o: validate_fastcdc(o, keyed),
         oracle_cut=ocut,
         boundaries=bnd,
+        boundaries_multi=bnd_multi,
     )
 
 
@@ -129,6 +140,12 @@ def _mk_jc(name: str, legacy: bool, spec_faithful: bool) -> AlgorithmSpec:
             cfg["spec_faithful"], cfg["gear"],
         )
 
+    def bnd_multi(cfg, o, data, doc_offsets):
+        return kernels.boundaries_jc_multi(
+            data, doc_offsets, o, cfg["mask_c"], cfg["mask_j"], cfg["jump_length"],
+            cfg["spec_faithful"], cfg["gear"],
+        )
+
     return AlgorithmSpec(
         name=name,
         defaults=DEFAULTS_JC,
@@ -136,6 +153,7 @@ def _mk_jc(name: str, legacy: bool, spec_faithful: bool) -> AlgorithmSpec:
         validate=validate_triple,
         oracle_cut=ocut,
         boundaries=bnd,
+        boundaries_multi=bnd_multi,
     )
 
 

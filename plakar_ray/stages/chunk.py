@@ -85,9 +85,17 @@ class ChunkerStage:
         d64 = [] if self.with_digest else None
 
         n = len(batch)
+        multi = self.spec.boundaries_multi
+        if multi is not None and n > 1:
+            # Batched frontier kernel: warm-up waves amortized across the
+            # whole batch (kernels.boundaries_*_multi); cutpoint-identical
+            # to the per-doc path.
+            per_doc = multi(self.cfg, self.opts, data, offsets)
+        else:
+            per_doc = None
         for i in range(n):
             doc = data[offsets[i] : offsets[i + 1]]
-            lengths = self.chunk_doc(doc)
+            lengths = per_doc[i] if per_doc is not None else self.chunk_doc(doc)
             k = lengths.shape[0]
             if k == 0:
                 continue

@@ -92,10 +92,11 @@ class MinHashStage:
             out[i] = h
         return _splitmix64(out) if out.shape[0] else out
 
-    def _cdc_shingles(self, doc: np.ndarray) -> np.ndarray:
+    def _cdc_shingles(self, doc: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
         import hashlib
 
-        lengths = self.chunker.chunk_doc(doc)
+        if lengths is None:
+            lengths = self.chunker.chunk_doc(doc)
         if lengths.shape[0] == 0:
             return np.empty(0, dtype=np.uint64)
         ends = np.cumsum(lengths)
@@ -195,10 +196,21 @@ class MinHashStage:
             sigs, n_shingles = self._word3_batch(batch)
         else:
             data, offsets = byte_views(batch.column(self.text_col))
+            multi = self.chunker.spec.boundaries_multi
+            per_doc = (
+                multi(self.chunker.cfg, self.chunker.opts, data, offsets)
+                if multi is not None and n > 1
+                else None
+            )
             sigs = np.empty((n, self.num_perm), dtype=np.uint64)
             n_shingles = np.empty(n, dtype=np.int32)
             for i in range(n):
-                sh = self.doc_shingles(data[offsets[i] : offsets[i + 1]])
+                doc_i = data[offsets[i] : offsets[i + 1]]
+                sh = (
+                    self._cdc_shingles(doc_i, per_doc[i])
+                    if per_doc is not None
+                    else self.doc_shingles(doc_i)
+                )
                 n_shingles[i] = sh.shape[0]
                 if sh.shape[0]:
                     sigs[i] = self.signature(np.unique(sh))

@@ -199,3 +199,34 @@ def test_warm_fps_matches_matrix():
         )
         got = _warm_fps(h.copy())
         assert np.array_equal(got, want), L
+
+
+def test_multi_doc_matches_per_doc():
+    """Batched frontier kernels (boundaries_*_multi) are cutpoint-identical
+    to the per-document kernels across fills, sizes and configs — including
+    empty docs, sub-MinSize docs, and short tails."""
+    from plakar_ray.registry import get_algorithm
+
+    rng = np.random.default_rng(77)
+    docs = []
+    for i in range(40):
+        kind = i % 4
+        ln = int(rng.integers(0, 30000)) if kind < 2 else [0, 1, 63, 64, 100, 4096][i % 6]
+        if kind == 0:
+            d = rng.integers(0, 256, ln, dtype=np.uint8)
+        elif kind == 1:
+            d = np.frombuffer((b"plakar" * (ln // 6 + 1))[:ln], dtype=np.uint8)
+        else:
+            d = np.zeros(ln, dtype=np.uint8)
+        docs.append(d)
+    data = np.concatenate(docs)
+    offsets = np.cumsum([0] + [d.shape[0] for d in docs])
+    for algo in ("fastcdc", "fastcdc-v1.0.0", "jc", "jc-v1.0.0", "jc-v1.1.0"):
+        spec = get_algorithm(algo)
+        for opts in (ChunkerOpts(64, 512, 128), ChunkerOpts(256, 4096, 1024)):
+            o = spec.resolve_opts(opts)
+            cfg = spec.setup(o)
+            got = spec.boundaries_multi(cfg, o, data, offsets)
+            for i, d in enumerate(docs):
+                want = chunk_lengths(algo, d, opts)
+                assert got[i].tolist() == want.tolist(), (algo, opts, i)
