@@ -322,6 +322,39 @@ def _warm_rows(
     return h
 
 
+def _split_batch_candidates(
+    data: np.ndarray,
+    doc_offsets: np.ndarray,
+    out: list,
+    cands: list,
+    gear: np.ndarray,
+    test,
+    premask: int,
+) -> None:
+    """ONE dense candidate scan over the whole batch buffer, split per doc.
+
+    Full-window hashes from the concatenated buffer are exact for every
+    position >= 63 bytes into its document; the resolution loops only ever
+    consult candidates at doc-relative positions >= MinSize + 63 (and
+    MinSize >= 64), so cross-document window contamination — confined to
+    the first 63 bytes after each doc start — touches only positions that
+    are never read. Those entries are dropped when splitting. Replaces a
+    per-document scan whose fixed setup cost dominates for small (web-page
+    or driver-table) documents."""
+    pos_all, fp_all = _gear_candidates(data, gear, test, premask)
+    pos_arr = np.asarray(pos_all, dtype=np.int64)
+    fp_arr = np.asarray(fp_all, dtype=np.uint64)
+    for d in range(len(doc_offsets) - 1):
+        if out[d] is not None:
+            continue
+        lo = int(np.searchsorted(pos_arr, doc_offsets[d] + 63))
+        hi = int(np.searchsorted(pos_arr, doc_offsets[d + 1]))
+        cands[d] = (
+            (pos_arr[lo:hi] - doc_offsets[d]).tolist(),
+            fp_arr[lo:hi].tolist(),
+        )
+
+
 def boundaries_fastcdc_multi(
     data: np.ndarray,
     doc_offsets: np.ndarray,
@@ -343,19 +376,17 @@ def boundaries_fastcdc_multi(
     s_pos = [0] * n_docs
 
     for d in range(n_docs):
-        doc = data[doc_offsets[d] : doc_offsets[d + 1]]
-        total = doc.shape[0]
+        total = int(doc_offsets[d + 1] - doc_offsets[d])
         if total == 0:
             out[d] = np.empty(0, dtype=np.int64)
         elif total <= min_size:
             out[d] = np.array([total], dtype=np.int64)
-        else:
-            cands[d] = _gear_candidates(
-                doc, gear,
-                lambda f: ((f & ms) == 0) | ((f & ml) == 0),
-                premask=mask_s & mask_l,
-            )
 
+    _split_batch_candidates(
+        data, doc_offsets, out, cands, gear,
+        lambda f: ((f & ms) == 0) | ((f & ml) == 0),
+        mask_s & mask_l,
+    )
     active = [d for d in range(n_docs) if out[d] is None]
     cols = np.arange(63)
     while active:
@@ -442,11 +473,9 @@ def boundaries_jc_multi(
     pending: dict[int, tuple[int, int, int]] = {}
 
     for d in range(n_docs):
-        doc = data[doc_offsets[d] : doc_offsets[d + 1]]
-        if doc.shape[0] == 0:
+        if doc_offsets[d + 1] - doc_offsets[d] == 0:
             out[d] = np.empty(0, dtype=np.int64)
-        else:
-            cands[d] = _gear_candidates(doc, gear, None, premask=mask_j)
+    _split_batch_candidates(data, doc_offsets, out, cands, gear, None, mask_j)
 
     def advance_outer(d: int) -> None:
         """Open the next chunk (handling terminal guards) or finish the doc;
