@@ -727,6 +727,17 @@ def boundaries_stadia(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
     thresh = _U64(0xFFFFFFFFFFFFFFFF) // _U64(normal_size - min_size + 1)
     # hash F[p] is checked at i = p+1
     cand_pos, _ = _gear_candidates(data, GEAR64_STADIA, lambda f: f <= thresh)
+    return _stadia_resolve(data, opts, cand_pos)
+
+
+def _stadia_resolve(
+    data: np.ndarray, opts: ChunkerOpts, cand_pos: list
+) -> np.ndarray:
+    """Chunk-lengths resolution for one document given its below-threshold
+    candidate positions (doc-relative); shared by the per-doc and batched
+    entry points."""
+    total = int(data.shape[0])
+    min_size, max_size = opts.min_size, opts.max_size
     n_cand = len(cand_pos)
 
     lengths: list[int] = []
@@ -767,3 +778,30 @@ def boundaries_stadia(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
         if cut < min_size:
             break
     return np.asarray(lengths, dtype=np.int64)
+
+
+def boundaries_stadia_multi(
+    data: np.ndarray, doc_offsets: np.ndarray, opts: ChunkerOpts
+) -> list[np.ndarray]:
+    """FastCDC4Stadia over every document of a batch buffer: ONE dense
+    threshold scan for the whole batch (consultations start at doc-relative
+    MinSize - 1 >= 63, past the cross-doc contamination zone), then the
+    shared per-doc resolution. The regression fallback (no candidate before
+    MaxSize) still reads its window from the doc slice, so it never sees a
+    neighboring document."""
+    thresh = _U64(0xFFFFFFFFFFFFFFFF) // _U64(opts.normal_size - opts.min_size + 1)
+    n_docs = len(doc_offsets) - 1
+    out: list = [None] * n_docs
+    cands: list = [None] * n_docs
+    for d in range(n_docs):
+        if doc_offsets[d + 1] - doc_offsets[d] == 0:
+            out[d] = np.empty(0, dtype=np.int64)
+    _split_batch_candidates(
+        data, doc_offsets, out, cands, GEAR64_STADIA,
+        lambda f: f <= thresh, None,
+    )
+    for d in range(n_docs):
+        if out[d] is None:
+            doc = data[doc_offsets[d] : doc_offsets[d + 1]]
+            out[d] = _stadia_resolve(doc, opts, cands[d][0])
+    return out

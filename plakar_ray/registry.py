@@ -188,6 +188,9 @@ def _mk_stadia() -> AlgorithmSpec:
         validate=validate_triple,
         oracle_cut=lambda cfg, o, data, n: oracle.cut_stadia(o, data, n),
         boundaries=lambda cfg, o, data: kernels.boundaries_stadia(data, o),
+        boundaries_multi=lambda cfg, o, data, doc_offsets: kernels.boundaries_stadia_multi(
+            data, doc_offsets, o
+        ),
     )
 
 
