@@ -564,21 +564,30 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
     come from runs of lag-8 byte equality: a chain of k consecutive equal
     8-byte windows is exactly an 8k-long lag-8-equal run."""
     total = int(data.shape[0])
-    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
     if total == 0:
         return np.empty(0, dtype=np.int64)
+    pos_arr, dist_arr = _ultracdc_candidates(data)
+    run_starts, run_ends = _lag8_runs(data)
+    return _ultracdc_resolve(
+        total, opts, spec_faithful, pos_arr.tolist(), dist_arr.tolist(),
+        run_starts, run_ends,
+    )
 
-    # Sliding 8-byte Hamming-to-0xAA sums via a 3-pass doubling add (SIMD;
-    # np.cumsum is a scalar loop and measured ~20x slower on this host),
-    # tiled so the int16 working set stays cache-resident.
-    # dist(p) = sum h[p-8:p] = w8[p-8], checked at p in [8, total-1].
+
+def _ultracdc_candidates(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, dists) of every check position whose 8-byte
+    Hamming-to-0xAA sum passes the loose-mask premask.
+
+    Sliding sums via a 3-pass doubling add (SIMD; np.cumsum is a scalar
+    loop and measured ~20x slower on this host), tiled so the int16 working
+    set stays cache-resident. dist(p) = sum h[p-8:p], checked at
+    p in [8, total-1]. Loop bound must be `total`, not `total - 7`: check
+    positions run through total-1, and a tile starting inside the final 7
+    bytes still holds real positions (n_here clamps the segment)."""
+    total = int(data.shape[0])
     msl = ULTRACDC_MASK_L  # subset of mask_s: superset of candidate positions
     pos_parts: list[np.ndarray] = []
     dist_parts: list[np.ndarray] = []
-    # Loop bound must be `total`, not `total - 7`: check positions run through
-    # total-1, and a tile starting inside the final 7 bytes still holds real
-    # positions (n_here clamps the segment). With `total - 7` those positions
-    # were silently dropped whenever (total - 8) % _TILE landed there.
     for start in range(8, total, _TILE):
         hi = min(total, start + _TILE + 7)  # w8 needs 7 lookahead bytes
         hp = _POPCOUNT_AA_U8[data[start - 8 : hi]].astype(np.int16)
@@ -592,28 +601,84 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
         if rel.shape[0]:
             pos_parts.append(rel + start)
             dist_parts.append(seg[rel])
-    if pos_parts:
-        cand_pos = np.concatenate(pos_parts).tolist()
-        cand_dist = np.concatenate(dist_parts).tolist()
-    else:
-        cand_pos, cand_dist = [], []
+    if not pos_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int16)
+    return np.concatenate(pos_parts).astype(np.int64), np.concatenate(dist_parts)
 
-    # Lag-8 equality runs. beq[p] (p>=8): data[p] == data[p-8]. Window at i
-    # equals window at i-8 iff beq holds over [i, i+8), i.e. [i, i+8) lies
-    # inside a maximal beq run.
-    if total > 8:
-        beq = np.zeros(total, dtype=bool)
-        beq[8:] = data[8:] == data[:-8]
-        d = np.diff(beq.astype(np.int8))
-        run_starts = (np.nonzero(d == 1)[0] + 1).tolist()
-        run_ends = (np.nonzero(d == -1)[0] + 1).tolist()
-        if beq[0]:
-            run_starts = [0] + run_starts
-        if beq[-1]:
-            run_ends = run_ends + [total]
-        del beq, d
-    else:
-        run_starts = run_ends = []
+
+def boundaries_ultracdc_multi(
+    data: np.ndarray, doc_offsets: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
+) -> list[np.ndarray]:
+    """UltraCDC over every document of a batch buffer: ONE candidate scan
+    and ONE lag-8 run extraction for the whole buffer, split per document.
+
+    Validity of the split: dist(p) reads data[p-8:p] and beq(p) compares
+    data[p] with data[p-8], so batch values equal per-doc values at every
+    doc-relative position >= 8; the resolution only consults positions >=
+    MinSize + 8 >= 72 and windows >= MinSize + 8. Candidates below
+    doc-relative 8 are dropped; runs are clipped to [doc_start + 8,
+    doc_end), which reproduces the per-doc run set exactly (per-doc beq is
+    defined False below 8)."""
+    n_docs = len(doc_offsets) - 1
+    pos_arr, dist_arr = _ultracdc_candidates(data)
+    run_s, run_e = _lag8_runs(data)
+    out: list = []
+    for d in range(n_docs):
+        ds, de = int(doc_offsets[d]), int(doc_offsets[d + 1])
+        total = de - ds
+        if total == 0:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        lo = int(np.searchsorted(pos_arr, ds + 8))
+        hi = int(np.searchsorted(pos_arr, de))
+        cp = (pos_arr[lo:hi] - ds).tolist()
+        cd = dist_arr[lo:hi].tolist()
+        # runs overlapping [ds + 8, de), clipped and shifted to doc-relative
+        ri = bisect_right(run_e, ds + 8)
+        rs_d: list[int] = []
+        re_d: list[int] = []
+        while ri < len(run_s) and run_s[ri] < de:
+            a = max(run_s[ri], ds + 8) - ds
+            b = min(run_e[ri], de) - ds
+            if b > a:
+                rs_d.append(a)
+                re_d.append(b)
+            ri += 1
+        out.append(
+            _ultracdc_resolve(total, opts, spec_faithful, cp, cd, rs_d, re_d)
+        )
+    return out
+
+
+def _lag8_runs(data: np.ndarray) -> tuple[list, list]:
+    total = int(data.shape[0])
+    if total <= 8:
+        return [], []
+    beq = np.zeros(total, dtype=bool)
+    beq[8:] = data[8:] == data[:-8]
+    d = np.diff(beq.astype(np.int8))
+    run_starts = (np.nonzero(d == 1)[0] + 1).tolist()
+    run_ends = (np.nonzero(d == -1)[0] + 1).tolist()
+    if beq[0]:
+        run_starts = [0] + run_starts
+    if beq[-1]:
+        run_ends = run_ends + [total]
+    return run_starts, run_ends
+
+
+def _ultracdc_resolve(
+    total: int,
+    opts: ChunkerOpts,
+    spec_faithful: bool,
+    cand_pos: list,
+    cand_dist: list,
+    run_starts: list,
+    run_ends: list,
+) -> np.ndarray:
+    """Chunk-lengths resolution given one document's candidate (position,
+    dist) lists and lag-8 equality runs (all doc-relative); shared by the
+    per-doc and batched entry points."""
+    min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
 
     def window_equal(i: int) -> bool:
         ri = bisect_right(run_starts, i) - 1

@@ -167,6 +167,9 @@ def _mk_ultracdc(name: str, spec_faithful: bool) -> AlgorithmSpec:
     def bnd(cfg, o, data):
         return kernels.boundaries_ultracdc(data, o, spec_faithful)
 
+    def bnd_multi(cfg, o, data, doc_offsets):
+        return kernels.boundaries_ultracdc_multi(data, doc_offsets, o, spec_faithful)
+
     return AlgorithmSpec(
         name=name,
         defaults=DEFAULTS_ULTRACDC,
@@ -174,6 +177,7 @@ def _mk_ultracdc(name: str, spec_faithful: bool) -> AlgorithmSpec:
         validate=validate_triple,
         oracle_cut=ocut,
         boundaries=bnd,
+        boundaries_multi=bnd_multi,
     )
 
 

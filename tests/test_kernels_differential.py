@@ -221,7 +221,8 @@ def test_multi_doc_matches_per_doc():
         docs.append(d)
     data = np.concatenate(docs)
     offsets = np.cumsum([0] + [d.shape[0] for d in docs])
-    for algo in ("fastcdc", "fastcdc-v1.0.0", "jc", "jc-v1.0.0", "jc-v1.1.0", "fastcdc4stadia"):
+    for algo in ("fastcdc", "fastcdc-v1.0.0", "jc", "jc-v1.0.0", "jc-v1.1.0", "fastcdc4stadia",
+                 "ultracdc", "ultracdc-v1.0.0"):
         spec = get_algorithm(algo)
         for opts in (ChunkerOpts(64, 512, 128), ChunkerOpts(256, 4096, 1024)):
             o = spec.resolve_opts(opts)
