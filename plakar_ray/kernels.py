@@ -854,6 +854,7 @@ def boundaries_stadia_multi(
     shared per-doc resolution. The regression fallback (no candidate before
     MaxSize) still reads its window from the doc slice, so it never sees a
     neighboring document."""
+    min_size, max_size = opts.min_size, opts.max_size
     thresh = _U64(0xFFFFFFFFFFFFFFFF) // _U64(opts.normal_size - opts.min_size + 1)
     n_docs = len(doc_offsets) - 1
     out: list = [None] * n_docs
@@ -865,8 +866,94 @@ def boundaries_stadia_multi(
         data, doc_offsets, out, cands, GEAR64_STADIA,
         lambda f: f <= thresh, None,
     )
+
+    lengths: list[list[int]] = [[] for _ in range(n_docs)]
+    s_pos = [0] * n_docs
+    jptr = [0] * n_docs
+
+    def advance(d: int):
+        """Resolve chunks via the candidate list (pure Python) until one
+        needs the regression fallback — return its (s, n) — or the doc
+        finishes (set out[d], return None)."""
+        total = int(doc_offsets[d + 1] - doc_offsets[d])
+        cand_pos = cands[d][0]
+        n_cand = len(cand_pos)
+        while True:
+            s = s_pos[d]
+            if s >= total:
+                out[d] = np.asarray(lengths[d], dtype=np.int64)
+                return None
+            n = min(total - s, max_size)
+            if n <= min_size:
+                lengths[d].append(n)
+                out[d] = np.asarray(lengths[d] , dtype=np.int64)
+                return None
+            j = bisect_left(cand_pos, s + min_size - 1, jptr[d])
+            jptr[d] = j
+            cut = -1
+            if j < n_cand:
+                p = cand_pos[j]
+                if p < s + n - 1:
+                    cut = p + 1 - s
+            if cut < 0:
+                return (s, n)
+            lengths[d].append(cut)
+            s_pos[d] = s + cut
+
+    pending: dict[int, tuple[int, int]] = {}
     for d in range(n_docs):
         if out[d] is None:
-            doc = data[doc_offsets[d] : doc_offsets[d + 1]]
-            out[d] = _stadia_resolve(doc, opts, cands[d][0])
+            r = advance(d)
+            if r is not None:
+                pending[d] = r
+
+    while pending:
+        rows = list(pending.items())  # [(d, (s, n))]
+        pending = {}
+        # Batched regression: window hashes for checks i = min..n-1 are
+        # F[s+min-1 : s+n-1] plus the final hash F[s+n-1]; rows gather 63
+        # bytes of left context (a - 63 >= s >= doc start, never crossing a
+        # doc boundary) and one axis-1 doubling yields every row's exact
+        # window hashes — one wave replaces per-chunk _gear_f_range +
+        # _bitlen_u64 calls.
+        Ls = np.array([n - min_size + 1 for d, (s, n) in rows], dtype=np.int64)
+        Lmax = int(Ls.max())
+        W = 63 + Lmax
+        starts = np.array(
+            [doc_offsets[d] + s + min_size - 1 - 63 for d, (s, n) in rows],
+            dtype=np.int64,
+        )
+        cols = np.arange(W)
+        idx = starts[:, None] + cols[None, :]
+        np.clip(idx, 0, max(data.shape[0] - 1, 0), out=idx)
+        h = GEAR64_STADIA[data[idx]]
+        for k in range(6):
+            step = 1 << k
+            h[:, step:] += h[:, :-step] << _U64(step)
+        R = len(rows)
+        final_v = h[np.arange(R), 63 + Ls - 1].copy()
+        # bitlen is monotone in the value, so the running/global min of the
+        # check BIT LENGTHS is the bitlen of the min check VALUE, and "last
+        # position at the min bitlen" is "last value below 2^mn" — three
+        # matrix passes instead of a 19-pass elementwise bitlen.
+        h[cols[None, :] >= (62 + Ls)[:, None]] = _MASK64  # mask final + padding
+        vals = h[:, 63 : 63 + Lmax]
+        vmin = vals.min(axis=1)
+        thr1 = np.array(
+            [(1 << int(v).bit_length()) - 1 for v in vmin], dtype=np.uint64
+        )
+        below = vals <= thr1[:, None]
+        last = Lmax - 1 - np.argmax(below[:, ::-1], axis=1)
+        final_le = final_v <= thr1
+        for r_i, (d, (s, n)) in enumerate(rows):
+            cut = n if bool(final_le[r_i]) else min_size + int(last[r_i])
+            lengths[d].append(cut)
+            s_pos[d] = s + cut
+            r = advance(d)
+            if r is not None:
+                pending[d] = r
+
+    for d in range(n_docs):
+        if out[d] is None:
+            out[d] = np.asarray(lengths[d], dtype=np.int64)
     return out
