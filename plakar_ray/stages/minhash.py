@@ -93,19 +93,19 @@ class MinHashStage:
         return _splitmix64(out) if out.shape[0] else out
 
     def _cdc_shingles(self, doc: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
-        import hashlib
+        """Chunk shingles = first-8-bytes-of-sha256 per CDC chunk.
+
+        hashlib's C sha256 runs >1 GB/s at CDC chunk sizes, so the hash
+        itself is not the hot part (see strhash.sha256_segments); the
+        flagship's former cost was the per-DOC Python loop + per-doc
+        np.unique + per-doc signature calls, removed by _cdc_batch."""
+        from plakar_ray.functions.strhash import sha256_segments
 
         if lengths is None:
             lengths = self.chunker.chunk_doc(doc)
         if lengths.shape[0] == 0:
             return np.empty(0, dtype=np.uint64)
-        ends = np.cumsum(lengths)
-        starts = ends - lengths
-        mv = memoryview(doc)
-        out = np.empty(lengths.shape[0], dtype=np.uint64)
-        for j, (s0, e0) in enumerate(zip(starts.tolist(), ends.tolist())):
-            out[j] = int.from_bytes(hashlib.sha256(mv[s0:e0]).digest()[:8], "little")
-        return out
+        return sha256_segments(lengths, doc)
 
     def _word3_batch(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized word-3-gram shingles + signatures for a whole batch.
@@ -190,32 +190,53 @@ class MinHashStage:
         sigs[gcnt == 0] = _U64(0xFFFFFFFFFFFFFFFF)
         return sigs, n_shingles
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _cdc_batch(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Fully batched CDC path: ONE boundary pass (batched frontier
+        kernels), one C-speed sha256 pass over every chunk in the batch
+        (chunks tile the doc byte stream contiguously), then per-doc
+        signature minima via permutation-blocked reduceat — no per-doc
+        Python loop, no per-doc np.unique, no per-doc signature() calls.
+        Signature-identical to the scalar path (same sha256[:8] shingle
+        family; duplicate shingles never change a min)."""
+        from plakar_ray.functions.strhash import sha256_segments
+
         n = len(batch)
+        data, offsets = byte_views(batch.column(self.text_col))
+        multi = self.chunker.spec.boundaries_multi
+        if multi is not None and n > 1:
+            per_doc = multi(self.chunker.cfg, self.chunker.opts, data, offsets)
+        else:
+            per_doc = [
+                self.chunker.chunk_doc(data[offsets[i] : offsets[i + 1]])
+                for i in range(n)
+            ]
+        counts = np.fromiter(
+            (p.shape[0] for p in per_doc), dtype=np.int64, count=n
+        )
+        n_shingles = counts.astype(np.int32)
+        sigs = np.full((n, self.num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        total = int(counts.sum())
+        if total == 0:
+            return sigs, n_shingles
+        lengths = np.concatenate(per_doc) if n > 1 else per_doc[0]
+        # chunk lengths tile the rows' value-buffer region exactly
+        shingles = sha256_segments(lengths, data[offsets[0] : offsets[-1]])
+        goff = np.cumsum(counts) - counts
+        safe = np.minimum(goff, total - 1)
+        p_block = max(1, (100 << 20) // (8 * total))
+        for p0 in range(0, self.num_perm, p_block):
+            a = self.a[p0 : p0 + p_block, None]
+            b = self.b[p0 : p0 + p_block, None]
+            vals = _splitmix64(a * shingles[None, :] + b)
+            sigs[:, p0 : p0 + p_block] = np.minimum.reduceat(vals, safe, axis=1).T
+        sigs[counts == 0] = _U64(0xFFFFFFFFFFFFFFFF)
+        return sigs, n_shingles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         if self.shingle == "word3":
             sigs, n_shingles = self._word3_batch(batch)
         else:
-            data, offsets = byte_views(batch.column(self.text_col))
-            multi = self.chunker.spec.boundaries_multi
-            per_doc = (
-                multi(self.chunker.cfg, self.chunker.opts, data, offsets)
-                if multi is not None and n > 1
-                else None
-            )
-            sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-            n_shingles = np.empty(n, dtype=np.int32)
-            for i in range(n):
-                doc_i = data[offsets[i] : offsets[i + 1]]
-                sh = (
-                    self._cdc_shingles(doc_i, per_doc[i])
-                    if per_doc is not None
-                    else self.doc_shingles(doc_i)
-                )
-                n_shingles[i] = sh.shape[0]
-                if sh.shape[0]:
-                    sigs[i] = self.signature(np.unique(sh))
-                else:
-                    sigs[i] = _U64(0xFFFFFFFFFFFFFFFF)
+            sigs, n_shingles = self._cdc_batch(batch)
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
