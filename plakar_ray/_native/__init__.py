@@ -1,0 +1,214 @@
+"""Native C boundary kernels: build-on-first-use, ctypes-bound, optional.
+
+cdc.c implements the oracle cut functions (plakar_ray/oracle.py — the
+repo's cited spec of fastcdc.go:225-253 / jc.go:205-244 /
+ultracdc.go:101-240 / fastcdc4stadia.go:77-149) as sequential C. The
+loader compiles it with the system gcc into a plain shared library keyed
+by a source hash (no CPython ABI dependency, so any interpreter on the
+node shares the artifact) and binds it via ctypes.
+
+Everything degrades gracefully: no gcc, failed compile, or
+PLAKAR_NATIVE=0 returns None and callers (plakar_ray/kernels.py) fall
+through to the vectorized-numpy kernels. Concurrent first-use by many Ray
+workers is safe — each compiles to a pid-suffixed temp file and
+os.replace()s it into place atomically.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "cdc.c")
+
+_i64 = ctypes.c_int64
+_u64 = ctypes.c_uint64
+_int = ctypes.c_int
+_p_u8 = ctypes.POINTER(ctypes.c_uint8)
+_p_i64 = ctypes.POINTER(ctypes.c_int64)
+_p_u64 = ctypes.POINTER(ctypes.c_uint64)
+
+_SIGNATURES = {
+    "fastcdc_doc": [_p_u8, _i64, _i64, _i64, _i64, _u64, _u64, _p_u64, _p_i64],
+    "fastcdc_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _u64, _u64, _p_u64, _p_i64, _p_i64],
+    "jc_doc": [_p_u8, _i64, _i64, _i64, _i64, _u64, _u64, _i64, _int, _p_u64, _p_i64],
+    "jc_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _u64, _u64, _i64, _int, _p_u64, _p_i64, _p_i64],
+    "ultracdc_doc": [_p_u8, _i64, _i64, _i64, _i64, _u64, _u64, _i64, _int, _p_i64],
+    "ultracdc_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _u64, _u64, _i64, _int, _p_i64, _p_i64],
+    "stadia_doc": [_p_u8, _i64, _i64, _i64, _i64, _p_u64, _p_i64],
+    "stadia_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _p_u64, _p_i64, _p_i64],
+}
+
+_lib = None
+_tried = False
+
+
+def _compile_and_bind() -> ctypes.CDLL | None:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    name = f"libplakarcdc_{tag}.so"
+    for base in (_DIR, os.path.join(tempfile.gettempdir(), "plakar_native")):
+        so = os.path.join(base, name)
+        try:
+            if not os.path.exists(so):
+                os.makedirs(base, exist_ok=True)
+                tmp = f"{so}.tmp{os.getpid()}"
+                cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+                r = subprocess.run(cmd + ["-march=native"], capture_output=True)
+                if r.returncode != 0:
+                    r = subprocess.run(cmd, capture_output=True)
+                    if r.returncode != 0:
+                        continue
+                os.replace(tmp, so)
+            lib = ctypes.CDLL(so)
+            for fname, argtypes in _SIGNATURES.items():
+                fn = getattr(lib, fname)
+                fn.argtypes = argtypes
+                fn.restype = _i64
+            return lib
+        except (OSError, AttributeError):
+            continue
+    return None
+
+
+def load() -> ctypes.CDLL | None:
+    """The bound library, or None (unavailable / disabled). Cached per
+    process; the compile itself is cached on disk across processes."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("PLAKAR_NATIVE", "1") == "0":
+        return None
+    try:
+        _lib = _compile_and_bind()
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _as_c(data: np.ndarray, ctype):
+    if not data.flags["C_CONTIGUOUS"]:
+        data = np.ascontiguousarray(data)
+    return data, data.ctypes.data_as(ctype)
+
+
+_EMPTY_U8 = np.zeros(1, dtype=np.uint8)  # non-NULL pointer for 0-byte docs
+
+
+def _doc_ptr(data: np.ndarray):
+    if data.shape[0] == 0:
+        return _EMPTY_U8, _EMPTY_U8.ctypes.data_as(_p_u8)
+    return _as_c(data, _p_u8)
+
+
+def _split(flat: np.ndarray, counts: np.ndarray) -> list[np.ndarray]:
+    return np.split(flat, np.cumsum(counts)[:-1])
+
+
+def fastcdc_doc(lib, data, opts, mask_s, mask_l, gear) -> np.ndarray:
+    keep, p = _doc_ptr(data)
+    gear, gp = _as_c(gear, _p_u64)
+    out = np.empty(data.shape[0] // max(opts.min_size, 1) + 2, dtype=np.int64)
+    m = lib.fastcdc_doc(p, data.shape[0], opts.min_size, opts.max_size,
+                        opts.normal_size, mask_s, mask_l, gp,
+                        out.ctypes.data_as(_p_i64))
+    return out[:m]
+
+
+def fastcdc_multi(lib, data, doc_offsets, opts, mask_s, mask_l, gear) -> list[np.ndarray]:
+    n_docs = len(doc_offsets) - 1
+    offs = np.ascontiguousarray(np.asarray(doc_offsets, dtype=np.int64))
+    total = int(offs[-1] - offs[0])
+    keep, p = _doc_ptr(data[offs[0]:offs[-1]])
+    rel = offs - offs[0]
+    gear, gp = _as_c(gear, _p_u64)
+    out = np.empty(total // max(opts.min_size, 1) + n_docs + 1, dtype=np.int64)
+    counts = np.empty(n_docs, dtype=np.int64)
+    lib.fastcdc_multi(p, rel.ctypes.data_as(_p_i64), n_docs, opts.min_size,
+                      opts.max_size, opts.normal_size, mask_s, mask_l, gp,
+                      out.ctypes.data_as(_p_i64), counts.ctypes.data_as(_p_i64))
+    return _split(out[:int(counts.sum())], counts)
+
+
+def jc_doc(lib, data, opts, mask_c, mask_j, jump_length, spec_faithful, gear) -> np.ndarray:
+    keep, p = _doc_ptr(data)
+    gear, gp = _as_c(gear, _p_u64)
+    out = np.empty(data.shape[0] // max(opts.min_size, 1) + 2, dtype=np.int64)
+    m = lib.jc_doc(p, data.shape[0], opts.min_size, opts.max_size,
+                   opts.normal_size, mask_c, mask_j, jump_length,
+                   int(spec_faithful), gp, out.ctypes.data_as(_p_i64))
+    return out[:m]
+
+
+def jc_multi(lib, data, doc_offsets, opts, mask_c, mask_j, jump_length,
+             spec_faithful, gear) -> list[np.ndarray]:
+    n_docs = len(doc_offsets) - 1
+    offs = np.ascontiguousarray(np.asarray(doc_offsets, dtype=np.int64))
+    total = int(offs[-1] - offs[0])
+    keep, p = _doc_ptr(data[offs[0]:offs[-1]])
+    rel = offs - offs[0]
+    gear, gp = _as_c(gear, _p_u64)
+    out = np.empty(total // max(opts.min_size, 1) + n_docs + 1, dtype=np.int64)
+    counts = np.empty(n_docs, dtype=np.int64)
+    lib.jc_multi(p, rel.ctypes.data_as(_p_i64), n_docs, opts.min_size,
+                 opts.max_size, opts.normal_size, mask_c, mask_j, jump_length,
+                 int(spec_faithful), gp, out.ctypes.data_as(_p_i64),
+                 counts.ctypes.data_as(_p_i64))
+    return _split(out[:int(counts.sum())], counts)
+
+
+def ultracdc_doc(lib, data, opts, mask_s, mask_l, lest, spec_faithful) -> np.ndarray:
+    keep, p = _doc_ptr(data)
+    out = np.empty(data.shape[0] // max(opts.min_size, 1) + 2, dtype=np.int64)
+    m = lib.ultracdc_doc(p, data.shape[0], opts.min_size, opts.max_size,
+                         opts.normal_size, mask_s, mask_l, lest,
+                         int(spec_faithful), out.ctypes.data_as(_p_i64))
+    return out[:m]
+
+
+def ultracdc_multi(lib, data, doc_offsets, opts, mask_s, mask_l, lest,
+                   spec_faithful) -> list[np.ndarray]:
+    n_docs = len(doc_offsets) - 1
+    offs = np.ascontiguousarray(np.asarray(doc_offsets, dtype=np.int64))
+    total = int(offs[-1] - offs[0])
+    keep, p = _doc_ptr(data[offs[0]:offs[-1]])
+    rel = offs - offs[0]
+    out = np.empty(total // max(opts.min_size, 1) + n_docs + 1, dtype=np.int64)
+    counts = np.empty(n_docs, dtype=np.int64)
+    lib.ultracdc_multi(p, rel.ctypes.data_as(_p_i64), n_docs, opts.min_size,
+                       opts.max_size, opts.normal_size, mask_s, mask_l, lest,
+                       int(spec_faithful), out.ctypes.data_as(_p_i64),
+                       counts.ctypes.data_as(_p_i64))
+    return _split(out[:int(counts.sum())], counts)
+
+
+def stadia_doc(lib, data, opts, gear) -> np.ndarray:
+    keep, p = _doc_ptr(data)
+    gear, gp = _as_c(gear, _p_u64)
+    out = np.empty(data.shape[0] // max(opts.min_size, 1) + 2, dtype=np.int64)
+    m = lib.stadia_doc(p, data.shape[0], opts.min_size, opts.max_size,
+                       opts.normal_size, gp, out.ctypes.data_as(_p_i64))
+    return out[:m]
+
+
+def stadia_multi(lib, data, doc_offsets, opts, gear) -> list[np.ndarray]:
+    n_docs = len(doc_offsets) - 1
+    offs = np.ascontiguousarray(np.asarray(doc_offsets, dtype=np.int64))
+    total = int(offs[-1] - offs[0])
+    keep, p = _doc_ptr(data[offs[0]:offs[-1]])
+    rel = offs - offs[0]
+    gear, gp = _as_c(gear, _p_u64)
+    out = np.empty(total // max(opts.min_size, 1) + n_docs + 1, dtype=np.int64)
+    counts = np.empty(n_docs, dtype=np.int64)
+    lib.stadia_multi(p, rel.ctypes.data_as(_p_i64), n_docs, opts.min_size,
+                     opts.max_size, opts.normal_size, gp,
+                     out.ctypes.data_as(_p_i64), counts.ctypes.data_as(_p_i64))
+    return _split(out[:int(counts.sum())], counts)

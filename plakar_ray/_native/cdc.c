@@ -1,0 +1,340 @@
+/* Native CDC boundary kernels — sequential C implementations of the cut
+ * functions specified by plakar_ray/oracle.py (the repo's cited scalar
+ * re-derivation of the reference algorithms: fastcdc.go:225-253,
+ * jc.go:205-244, ultracdc.go:101-240, fastcdc4stadia.go:77-149).
+ *
+ * Written from that spec, NOT translated from the Go source. Each function
+ * mirrors the oracle statement-for-statement so the existing
+ * kernel-vs-oracle differential + golden test suites gate it directly.
+ * uint64_t arithmetic wraps mod 2^64 exactly like the oracle's explicit
+ * `& MASK64`.
+ *
+ * Single-threaded on purpose: parallelism comes from Ray workers (one
+ * process per core), so the per-call working set stays cache-resident and
+ * there is no threading state to share.
+ *
+ * Built at first use by plakar_ray/_native/__init__.py via gcc into a
+ * plain shared library (ctypes, no CPython ABI dependency); every entry
+ * point has a vectorized-numpy fallback in plakar_ray/kernels.py.
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+/* ------------------------------------------------------------ fastcdc -- */
+
+static inline int64_t cut_fastcdc(const uint8_t *data, int64_t n,
+                                  int64_t min_size, int64_t max_size,
+                                  int64_t normal_size, uint64_t mask_s,
+                                  uint64_t mask_l, const uint64_t *gear) {
+    if (n <= min_size)
+        return n;
+    if (n >= max_size)
+        n = max_size;
+    else if (n <= normal_size)
+        normal_size = n;
+    /* The oracle switches mask when i == normal_size, checked before each
+     * byte; normal_size <= n after clamping, so the scan splits into a
+     * mask_s phase [min_size, normal_size) and a mask_l phase
+     * [normal_size, n) with no per-byte branch. If min_size > normal_size
+     * the equality never fires and mask_s runs to the end — phase 2's
+     * lower bound max(normal_size, min_size) preserves that. */
+    uint64_t fp = 0;
+    int64_t i = min_size;
+    int64_t ph1 = normal_size > i ? normal_size : i;
+    if (ph1 > n)
+        ph1 = n;
+    for (; i < ph1; i++) {
+        fp = (fp << 1) + gear[data[i]];
+        if ((fp & mask_s) == 0)
+            return i;
+    }
+    if (min_size > normal_size) {
+        for (; i < n; i++) {
+            fp = (fp << 1) + gear[data[i]];
+            if ((fp & mask_s) == 0)
+                return i;
+        }
+        return i;
+    }
+    for (; i < n; i++) {
+        fp = (fp << 1) + gear[data[i]];
+        if ((fp & mask_l) == 0)
+            return i;
+    }
+    return i;
+}
+
+int64_t fastcdc_doc(const uint8_t *data, int64_t total, int64_t min_size,
+                    int64_t max_size, int64_t normal_size, uint64_t mask_s,
+                    uint64_t mask_l, const uint64_t *gear, int64_t *out) {
+    int64_t m = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = total - pos;
+        if (n > max_size)
+            n = max_size;
+        int64_t cut = cut_fastcdc(data + pos, n, min_size, max_size,
+                                  normal_size, mask_s, mask_l, gear);
+        if (cut <= 0)
+            break;
+        out[m++] = cut;
+        pos += cut;
+        if (cut < min_size)
+            break;
+    }
+    return m;
+}
+
+int64_t fastcdc_multi(const uint8_t *data, const int64_t *offsets,
+                      int64_t n_docs, int64_t min_size, int64_t max_size,
+                      int64_t normal_size, uint64_t mask_s, uint64_t mask_l,
+                      const uint64_t *gear, int64_t *out_lengths,
+                      int64_t *out_counts) {
+    int64_t m = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t c = fastcdc_doc(data + offsets[d], offsets[d + 1] - offsets[d],
+                                min_size, max_size, normal_size, mask_s,
+                                mask_l, gear, out_lengths + m);
+        out_counts[d] = c;
+        m += c;
+    }
+    return m;
+}
+
+/* ----------------------------------------------------------------- jc -- */
+
+static inline int64_t cut_jc(const uint8_t *data, int64_t n, int64_t min_size,
+                             int64_t max_size, int64_t normal_size,
+                             uint64_t mask_c, uint64_t mask_j,
+                             int64_t jump_length, int spec_faithful,
+                             const uint64_t *gear) {
+    if (spec_faithful) {
+        if (n >= max_size)
+            n = max_size;
+    } else if (n <= normal_size) {
+        return n;
+    } else if (n >= max_size) {
+        n = max_size;
+    }
+    uint64_t fp = 0;
+    int64_t i = min_size;
+    while (i < n) {
+        fp = (fp << 1) + gear[data[i]];
+        if ((fp & mask_j) == 0) {
+            if ((fp & mask_c) == 0)
+                return i;
+            fp = 0;
+            i += jump_length;
+        } else {
+            i++;
+        }
+    }
+    return i < n ? i : n;
+}
+
+int64_t jc_doc(const uint8_t *data, int64_t total, int64_t min_size,
+               int64_t max_size, int64_t normal_size, uint64_t mask_c,
+               uint64_t mask_j, int64_t jump_length, int spec_faithful,
+               const uint64_t *gear, int64_t *out) {
+    int64_t m = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = total - pos;
+        if (n > max_size)
+            n = max_size;
+        int64_t cut = cut_jc(data + pos, n, min_size, max_size, normal_size,
+                             mask_c, mask_j, jump_length, spec_faithful, gear);
+        if (cut <= 0)
+            break;
+        out[m++] = cut;
+        pos += cut;
+        if (cut < min_size)
+            break;
+    }
+    return m;
+}
+
+int64_t jc_multi(const uint8_t *data, const int64_t *offsets, int64_t n_docs,
+                 int64_t min_size, int64_t max_size, int64_t normal_size,
+                 uint64_t mask_c, uint64_t mask_j, int64_t jump_length,
+                 int spec_faithful, const uint64_t *gear, int64_t *out_lengths,
+                 int64_t *out_counts) {
+    int64_t m = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t c = jc_doc(data + offsets[d], offsets[d + 1] - offsets[d],
+                           min_size, max_size, normal_size, mask_c, mask_j,
+                           jump_length, spec_faithful, gear, out_lengths + m);
+        out_counts[d] = c;
+        m += c;
+    }
+    return m;
+}
+
+/* ----------------------------------------------------------- ultracdc -- */
+
+/* popcount(b ^ 0xAA) per byte value; idempotent lazy init (all racers
+ * write identical values). */
+static uint8_t pc_aa[256];
+static int pc_aa_init = 0;
+
+static inline void ensure_pc_aa(void) {
+    if (!pc_aa_init) {
+        for (int b = 0; b < 256; b++)
+            pc_aa[b] = (uint8_t)__builtin_popcount((unsigned)(b ^ 0xAA));
+        pc_aa_init = 1;
+    }
+}
+
+static inline int64_t cut_ultracdc(const uint8_t *data, int64_t n,
+                                   int64_t min_size, int64_t max_size,
+                                   int64_t normal_size, uint64_t mask_s,
+                                   uint64_t mask_l, int64_t lest,
+                                   int spec_faithful) {
+    if (n <= min_size)
+        return n;
+    if (n >= max_size)
+        n = max_size;
+    else if (n <= normal_size)
+        normal_size = n;
+    if (n < min_size + 8)
+        return n;
+
+    const uint8_t *out_win = data + min_size;
+    int64_t dist = 0;
+    for (int j = 0; j < 8; j++)
+        dist += pc_aa[out_win[j]];
+
+    uint64_t mask = mask_s;
+    int64_t low_entropy_count = 0;
+    int64_t i = min_size + 8;
+    while (i <= n - 8) {
+        if (i >= normal_size)
+            mask = mask_l;
+        const uint8_t *in_win = data + i;
+        if (memcmp(in_win, out_win, 8) == 0) {
+            low_entropy_count++;
+            if (low_entropy_count >= lest)
+                return i + 8;
+            i += 8;
+            continue;
+        }
+        low_entropy_count = 0;
+        for (int j = 0; j < 8; j++) {
+            if (((uint64_t)dist & mask) == 0)
+                return spec_faithful ? i + 8 : i + j;
+            dist += (int64_t)pc_aa[data[i + j]] - (int64_t)pc_aa[data[i + j - 8]];
+        }
+        out_win = in_win;
+        i += 8;
+    }
+    return n;
+}
+
+int64_t ultracdc_doc(const uint8_t *data, int64_t total, int64_t min_size,
+                     int64_t max_size, int64_t normal_size, uint64_t mask_s,
+                     uint64_t mask_l, int64_t lest, int spec_faithful,
+                     int64_t *out) {
+    ensure_pc_aa();
+    int64_t m = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = total - pos;
+        if (n > max_size)
+            n = max_size;
+        int64_t cut = cut_ultracdc(data + pos, n, min_size, max_size,
+                                   normal_size, mask_s, mask_l, lest,
+                                   spec_faithful);
+        if (cut <= 0)
+            break;
+        out[m++] = cut;
+        pos += cut;
+        if (cut < min_size)
+            break;
+    }
+    return m;
+}
+
+int64_t ultracdc_multi(const uint8_t *data, const int64_t *offsets,
+                       int64_t n_docs, int64_t min_size, int64_t max_size,
+                       int64_t normal_size, uint64_t mask_s, uint64_t mask_l,
+                       int64_t lest, int spec_faithful, int64_t *out_lengths,
+                       int64_t *out_counts) {
+    ensure_pc_aa();
+    int64_t m = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t c = ultracdc_doc(data + offsets[d], offsets[d + 1] - offsets[d],
+                                 min_size, max_size, normal_size, mask_s,
+                                 mask_l, lest, spec_faithful, out_lengths + m);
+        out_counts[d] = c;
+        m += c;
+    }
+    return m;
+}
+
+/* ----------------------------------------------------- fastcdc4stadia -- */
+
+static inline int64_t cut_stadia(const uint8_t *data, int64_t n,
+                                 int64_t min_size, int64_t max_size,
+                                 int64_t normal_size, const uint64_t *gear) {
+    uint64_t thresh =
+        0xFFFFFFFFFFFFFFFFULL / (uint64_t)(normal_size - min_size + 1);
+    if (n <= min_size)
+        return n;
+    if (n >= max_size)
+        n = max_size;
+
+    int64_t regression_len = n;
+    uint64_t regression_mask = 0; /* 0 => matches anything */
+    uint64_t fp = 0xFFFFFFFFFFFFFFFFULL;
+    const int64_t k_hash_bits = 64;
+    int64_t i = min_size > k_hash_bits ? min_size - k_hash_bits : 0;
+    for (; i < min_size; i++)
+        fp = (fp << 1) + gear[data[i]];
+    for (; i < n; i++) {
+        if ((fp & regression_mask) == 0) {
+            if (fp <= thresh)
+                return i;
+            regression_len = i;
+            regression_mask = 0xFFFFFFFFFFFFFFFFULL;
+            while ((fp & regression_mask) != 0)
+                regression_mask <<= 1;
+        }
+        fp = (fp << 1) + gear[data[i]];
+    }
+    if ((fp & regression_mask) != 0)
+        return regression_len;
+    return i;
+}
+
+int64_t stadia_doc(const uint8_t *data, int64_t total, int64_t min_size,
+                   int64_t max_size, int64_t normal_size,
+                   const uint64_t *gear, int64_t *out) {
+    int64_t m = 0, pos = 0;
+    while (pos < total) {
+        int64_t n = total - pos;
+        if (n > max_size)
+            n = max_size;
+        int64_t cut =
+            cut_stadia(data + pos, n, min_size, max_size, normal_size, gear);
+        if (cut <= 0)
+            break;
+        out[m++] = cut;
+        pos += cut;
+        if (cut < min_size)
+            break;
+    }
+    return m;
+}
+
+int64_t stadia_multi(const uint8_t *data, const int64_t *offsets,
+                     int64_t n_docs, int64_t min_size, int64_t max_size,
+                     int64_t normal_size, const uint64_t *gear,
+                     int64_t *out_lengths, int64_t *out_counts) {
+    int64_t m = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        int64_t c = stadia_doc(data + offsets[d], offsets[d + 1] - offsets[d],
+                               min_size, max_size, normal_size, gear,
+                               out_lengths + m);
+        out_counts[d] = c;
+        m += c;
+    }
+    return m;
+}

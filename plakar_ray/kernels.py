@@ -37,6 +37,7 @@ from bisect import bisect_left, bisect_right
 
 import numpy as np
 
+from plakar_ray import _native
 from plakar_ray.gear import GEAR, GEAR64_STADIA
 from plakar_ray.opts import (
     ULTRACDC_LEST,
@@ -153,6 +154,9 @@ def boundaries_fastcdc(
     gear: np.ndarray = GEAR,
 ) -> np.ndarray:
     """FastCDC (fastcdc.go:225-253) over a whole document."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.fastcdc_doc(lib, data, opts, int(mask_s), int(mask_l), gear)
     total = int(data.shape[0])
     min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
     if total == 0:
@@ -225,6 +229,12 @@ def boundaries_jc(
     has a warm-up (<64 bytes, exact matrix fps) and a steady tail (window-64
     candidates). All events (cuts and jumps) live at maskJ candidates because
     maskJ subset maskC."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.jc_doc(
+            lib, data, opts, int(mask_c), int(mask_j), jump_length,
+            spec_faithful, gear,
+        )
     total = int(data.shape[0])
     min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
     if total == 0:
@@ -365,6 +375,11 @@ def boundaries_fastcdc_multi(
 ) -> list[np.ndarray]:
     """FastCDC over every document of a batch buffer; one warm-up wave per
     chunk generation across all still-active documents."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.fastcdc_multi(
+            lib, data, doc_offsets, opts, int(mask_s), int(mask_l), gear
+        )
     min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
     ms, ml = _U64(mask_s), _U64(mask_l)
     ims, iml = int(mask_s), int(mask_l)
@@ -461,6 +476,12 @@ def boundaries_jc_multi(
 ) -> list[np.ndarray]:
     """JC over every document of a batch buffer; one warm-up wave per scan
     SEGMENT generation (jumps spawn segments) across all active documents."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.jc_multi(
+            lib, data, doc_offsets, opts, int(mask_c), int(mask_j),
+            jump_length, spec_faithful, gear,
+        )
     min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
     mj = _U64(mask_j)
     imc = int(mask_c)
@@ -563,6 +584,12 @@ def boundaries_ultracdc(data: np.ndarray, opts: ChunkerOpts, spec_faithful: bool
     because an equal window contributes an equal sum. Low-entropy forced cuts
     come from runs of lag-8 byte equality: a chain of k consecutive equal
     8-byte windows is exactly an 8k-long lag-8-equal run."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.ultracdc_doc(
+            lib, data, opts, ULTRACDC_MASK_S, ULTRACDC_MASK_L, ULTRACDC_LEST,
+            spec_faithful,
+        )
     total = int(data.shape[0])
     if total == 0:
         return np.empty(0, dtype=np.int64)
@@ -619,6 +646,12 @@ def boundaries_ultracdc_multi(
     doc-relative 8 are dropped; runs are clipped to [doc_start + 8,
     doc_end), which reproduces the per-doc run set exactly (per-doc beq is
     defined False below 8)."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.ultracdc_multi(
+            lib, data, doc_offsets, opts, ULTRACDC_MASK_S, ULTRACDC_MASK_L,
+            ULTRACDC_LEST, spec_faithful,
+        )
     n_docs = len(doc_offsets) - 1
     pos_arr, dist_arr = _ultracdc_candidates(data)
     run_s, run_e = _lag8_runs(data)
@@ -784,6 +817,9 @@ def boundaries_stadia(data: np.ndarray, opts: ChunkerOpts) -> np.ndarray:
     threshold match before MaxSize) reduces to: the last check position whose
     hash bit-length equals the running minimum; the final hash competes too.
     """
+    lib = _native.load()
+    if lib is not None:
+        return _native.stadia_doc(lib, data, opts, GEAR64_STADIA)
     total = int(data.shape[0])
     min_size, max_size, normal_size = opts.min_size, opts.max_size, opts.normal_size
     if total == 0:
@@ -854,6 +890,9 @@ def boundaries_stadia_multi(
     shared per-doc resolution. The regression fallback (no candidate before
     MaxSize) still reads its window from the doc slice, so it never sees a
     neighboring document."""
+    lib = _native.load()
+    if lib is not None:
+        return _native.stadia_multi(lib, data, doc_offsets, opts, GEAR64_STADIA)
     min_size, max_size = opts.min_size, opts.max_size
     thresh = _U64(0xFFFFFFFFFFFFFFFF) // _U64(opts.normal_size - opts.min_size + 1)
     n_docs = len(doc_offsets) - 1
