@@ -5,9 +5,17 @@ SIGMOD'10 "MapReduce set-similarity join"), Ray-Data-native:
 
 1. Tokenize + per-document distinct token hashes (vectorized FNV over Arrow
    token buffers).
-2. Global token frequency (combinable partial counts -> tiny groupby) gives
-   a total order: rare tokens first. Any consistent order is CORRECT; the
-   frequency order is what makes prefixes rare and posting lists short.
+2. Token order: rare tokens first. Any CONSISTENT total order is correct
+   (the theorem below never uses frequencies); rarity order is what makes
+   prefixes rare and posting lists short. Only a bounded top-K frequent
+   HEAD is ranked exactly (per-block top-K over the combined counts, two
+   tiny reduction stages, one small ray.put); every tail token's rank is a
+   deterministic function of its hash, computed map-side. Head ranks are
+   odd integers above 2^62, tail ranks even integers below it, so two
+   distinct tokens can only tie if their 64-bit hashes share bits 2..63 —
+   the same negligible-collision class as token identity itself. Ties
+   between distinct tokens would break the prefix theorem (each document
+   could order a tie differently), which is why the parity split exists.
 3. Prefix filter: a document with k tokens emits its first
    p = k - ceil(t*k) + 1 tokens (in global order). THEOREM: if
    J(x, y) >= t, the smallest common token (in global order) lies within
@@ -20,12 +28,16 @@ SIGMOD'10 "MapReduce set-similarity join"), Ray-Data-native:
 
 Scale notes (100 TB): every wide step is a hash exchange (frequency count is
 map-side combined; candidate grouping and the verify joins are keyed hash
-shuffles). The vocabulary ranking is broadcast once via ray.put — at web
-scale replace with "top-M frequent tokens ranked exactly, tail ranked by
-hash", which preserves correctness (any total order) and pruning power.
-Token identity is a 64-bit splitmix(FNV) hash; two distinct tokens
-colliding (p ~ V^2 / 2^65) would merge their postings — negligible and
-documented rather than silently assumed.
+shuffles). The GLOBAL vocabulary never exists in one place: only the
+HEAD_K most frequent tokens travel to the driver (bounded by K, not by
+vocabulary size), and tail tokens — the billions of distinct rare tokens
+web text produces — are ranked arithmetically inside each map task. A
+tail token's posting list is short by construction (its global frequency
+is below the head cutoff), so candidate generation stays bounded even
+though tail ranks ignore exact frequencies. Token identity is a 64-bit
+splitmix(FNV) hash; two distinct tokens colliding (p ~ V^2 / 2^65) would
+merge their postings — negligible and documented rather than silently
+assumed.
 """
 
 from __future__ import annotations
@@ -84,21 +96,36 @@ class TokenCountStage:
         )
 
 
+_HEAD_BASE = np.int64(1) << np.int64(62)
+
+
+def _tail_ranks(h: np.ndarray) -> np.ndarray:
+    """Map-side rank of a non-head token: bits 2..63 of its hash, low bit
+    cleared. Even, < 2^62, identical in every task — a consistent total
+    order with no global state."""
+    return ((h >> _U64(2)) & ~_U64(1)).astype(np.int64)
+
+
 class RankedSetStage:
-    """batch -> (doc_id, k, ranks list<int64> ascending) with the broadcast
-    vocabulary rank table applied (np.searchsorted, vectorized)."""
+    """batch -> (doc_id, k, ranks list<int64> ascending). Head tokens get
+    their broadcast exact rarity rank (odd, >= 2^62); tail tokens get the
+    arithmetic hash rank (even, < 2^62) computed locally."""
 
     def __init__(self, vocab_ref, id_col: str, text_col: str):
         import ray
 
-        self.vocab_hashes, self.vocab_ranks = ray.get(vocab_ref)
+        self.head_hashes, self.head_ranks = ray.get(vocab_ref)
         self.id_col = id_col
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         d, h, counts = _doc_token_hashes(batch, self.id_col, self.text_col)
-        pos = np.searchsorted(self.vocab_hashes, h)
-        ranks = self.vocab_ranks[pos]
+        ranks = _tail_ranks(h)
+        if self.head_hashes.shape[0] and h.shape[0]:
+            pos = np.searchsorted(self.head_hashes, h)
+            pos = np.minimum(pos, self.head_hashes.shape[0] - 1)
+            is_head = self.head_hashes[pos] == h
+            ranks[is_head] = self.head_ranks[pos[is_head]]
         # sort each doc's ranks ascending (d is already grouped ascending)
         order = np.lexsort((ranks, d))
         ranks = ranks[order]
@@ -251,11 +278,24 @@ def _verify_batch(batch: pa.Table, threshold: float) -> pa.Table:
     )
 
 
+def _topk_block(batch: pa.Table, k: int) -> pa.Table:
+    """Keep a block's k most frequent (thash, sum(partial)) rows. The global
+    top-k is a subset of the union of per-block top-ks (counts are already
+    global after the combining groupby), so two passes — block-local, then
+    single-partition — yield the exact head."""
+    if len(batch) <= k:
+        return batch
+    cnt = batch.column("sum(partial)").to_numpy(zero_copy_only=False)
+    idx = np.argpartition(-cnt, k - 1)[:k]
+    return batch.take(pa.array(np.sort(idx)))
+
+
 def token_jaccard_join(
     ds,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    head_k: int = 1 << 16,
 ):
     """documents Dataset -> exact (id_a < id_b, jaccard) pairs with
     distinct-token Jaccard >= threshold. See module docstring."""
@@ -273,8 +313,11 @@ def token_jaccard_join(
 
     ds = ds.materialize()  # consumed by two passes (freq + sets)
 
-    # 1. global token frequency (map-side combined partials -> tiny groupby)
-    freq = (
+    # 1. head vocabulary: top-HEAD_K most frequent tokens, exactly ranked.
+    # Combined global counts stay a Dataset; two per-block top-K reductions
+    # (block-local, then single-partition) bound what reaches the driver by
+    # K — the vocabulary itself is never collected or broadcast.
+    freq_ds = (
         ds.map_batches(
             TokenCountStage(text_col=text_col),
             batch_format="pyarrow",
@@ -282,18 +325,25 @@ def token_jaccard_join(
         )
         .groupby("thash")
         .sum("partial")
-        .to_pandas()
     )
-    # rank: ascending frequency, hash tie-break — rare tokens first
-    order = np.lexsort(
-        (freq["thash"].to_numpy(), freq["sum(partial)"].to_numpy())
+    topk = lambda b: _topk_block(b, head_k)  # noqa: E731
+    head_rows = (
+        freq_ds.map_batches(topk, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_size=None, batch_format="pyarrow")
+        .take_all()
     )
-    vocab_hashes = freq["thash"].to_numpy()[order].astype(np.uint64)
-    ranks_of_sorted = np.empty(order.shape[0], dtype=np.int64)
-    ranks_of_sorted[:] = np.arange(order.shape[0])
-    # searchsorted needs vocab sorted by hash
-    hash_order = np.argsort(vocab_hashes)
-    vocab_ref = ray.put((vocab_hashes[hash_order], ranks_of_sorted[hash_order]))
+    head_hashes = np.array([r["thash"] for r in head_rows], dtype=np.uint64)
+    head_cnt = np.array([r["sum(partial)"] for r in head_rows], dtype=np.int64)
+    # ascending frequency, hash tie-break — rare head tokens get the
+    # smallest head ranks; all head ranks are odd and >= 2^62, above every
+    # tail rank, so prefix order degrades gracefully to the old exact
+    # frequency order whenever the vocabulary fits in the head.
+    order = np.lexsort((head_hashes, head_cnt))
+    head_ranks = np.empty(order.shape[0], dtype=np.int64)
+    head_ranks[order] = _HEAD_BASE + 2 * np.arange(order.shape[0], dtype=np.int64) + 1
+    hash_order = np.argsort(head_hashes)
+    vocab_ref = ray.put((head_hashes[hash_order], head_ranks[hash_order]))
 
     # 2. ranked per-doc sets
     sets_ds = ds.map_batches(

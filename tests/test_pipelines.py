@@ -519,3 +519,45 @@ def test_sessionize_distributed_matches_local(ray_session):
     ).to_pandas()
     assert loc.reset_index(drop=True).equals(dist.reset_index(drop=True))
     assert loc.n_sessions.sum() > loc.user_id.nunique()  # gaps actually split
+
+
+def test_token_jaccard_head_tail_split_exact(ray_session):
+    """token_jaccard_join with head_k tiny forces MOST tokens onto the
+    map-side arithmetic tail ranks (the 100-TB path — vocabulary never on
+    the driver); head_k huge degrades to the old exact-frequency order.
+    Both must produce the exact brute-force pair set."""
+    import itertools
+
+    import ray.data
+
+    from plakar_ray.pipelines.setjoin import token_jaccard_join
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{v}" for v in range(60)]
+    docs = []
+    for i in range(40):
+        k = int(rng.integers(4, 14))
+        docs.append(" ".join(rng.choice(vocab, size=k, replace=True)))
+    # planted near-dupes
+    docs[30] = docs[0] + " tok1"
+    docs[31] = docs[5]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    def brute():
+        sets = [set(d.split()) for d in docs]
+        out = set()
+        for a, b in itertools.combinations(range(40), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.5:
+                out.add((a, b))
+        return out
+
+    want = brute()
+    for head_k in (4, 1 << 16):
+        got = token_jaccard_join(
+            ray.data.from_arrow(t), threshold=0.5, head_k=head_k
+        ).to_pandas()
+        pairs = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
+        assert pairs == want, (head_k, len(pairs), len(want))
