@@ -561,3 +561,40 @@ def test_token_jaccard_head_tail_split_exact(ray_session):
         ).to_pandas()
         pairs = set(zip(got["id_a"].tolist(), got["id_b"].tolist()))
         assert pairs == want, (head_k, len(pairs), len(want))
+
+
+def test_array_unionfind_matches_dict_and_is_fast(ray_session):
+    """ArrayUnionFind (vectorized driver CC) == dict UnionFind on graphs
+    with chains, hubs and self-loops; 2M edges absorb in seconds (the
+    sub-threshold driver path must stay cheap up to its 2M-edge switchover
+    to label_propagation)."""
+    import time
+
+    from plakar_ray.state.unionfind import ArrayUnionFind, UnionFind
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 4000, 60_000)
+    b = rng.integers(0, 4000, 60_000)
+    chain = np.arange(9000, 9400)
+    a = np.concatenate([a, chain[:-1], [77, 88]])
+    b = np.concatenate([b, chain[1:], [77, 99]])
+    d = UnionFind()
+    for x, y in zip(a.tolist(), b.tolist()):
+        d.union(x, y)
+    uf = ArrayUnionFind()
+    for s in range(0, a.shape[0], 7000):
+        uf.absorb(a[s : s + 7000], b[s : s + 7000])
+    assert uf.components() == d.components()
+
+    n_nodes, n_edges = 300_000, 2_000_000
+    ids = rng.integers(0, 1 << 40, n_nodes).astype(np.int64)
+    ea = ids[rng.integers(0, n_nodes, n_edges)]
+    eb = ids[rng.integers(0, n_nodes, n_edges)]
+    big = ArrayUnionFind()
+    t0 = time.time()
+    for s in range(0, n_edges, 200_000):
+        big.absorb(ea[s : s + 200_000], eb[s : s + 200_000])
+    comp = big.components()
+    wall = time.time() - t0
+    assert len(comp) > 0
+    assert wall < 10.0, f"2M-edge driver CC took {wall:.1f}s"
