@@ -30,19 +30,41 @@ class _ChunkWithBytes:
         from plakar_ray.functions.arrowbytes import byte_views
 
         t = self.inner(batch)
-        # Rebuild payload slices from the source batch (zero-copy views).
         data, offsets = byte_views(batch.column(self.inner.text_col))
-        ids = batch.column(self.inner.id_col).to_numpy(zero_copy_only=False)
-        row_of = {int(v): i for i, v in enumerate(ids)}
-        payloads = []
-        for did, off, ln in zip(
-            t.column(self.inner.id_col).to_pylist(),
-            t.column("offset").to_pylist(),
-            t.column("length").to_pylist(),
-        ):
-            base = offsets[row_of[int(did)]]
-            payloads.append(data[base + off : base + off + ln].tobytes())
-        return t.append_column("payload", pa.array(payloads, type=pa.binary()))
+        ln = t.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        # ChunkerStage emits chunks doc-grouped in batch order with each
+        # document's chunks tiling its bytes contiguously (empty docs emit
+        # no rows AND no bytes), so the concatenated payload stream IS the
+        # batch value buffer: the payload column is one LargeBinaryArray
+        # over that buffer with cumsum(length) offsets — zero bytes copied,
+        # zero per-chunk Python. The tiling invariant is checked end-to-end
+        # (voff[-1] must land on the buffer end); any violation falls back
+        # to an explicit vectorized gather.
+        voff = np.empty(ln.shape[0] + 1, dtype=np.int64)
+        voff[0] = offsets[0]
+        np.cumsum(ln, out=voff[1:])
+        voff[1:] += offsets[0]
+        if voff[-1] != offsets[-1]:
+            ids = batch.column(self.inner.id_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            row = order[
+                np.searchsorted(
+                    ids[order], t.column(self.inner.id_col).to_numpy(zero_copy_only=False)
+                )
+            ]
+            starts = offsets[row] + t.column("offset").to_numpy(zero_copy_only=False)
+            total = int(ln.sum())
+            gather = np.repeat(starts, ln) + (
+                np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(ln) - ln, ln)
+            )
+            data = np.ascontiguousarray(data[gather])
+            voff = np.concatenate(([0], np.cumsum(ln)))
+        payload = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            ln.shape[0],
+            [None, pa.py_buffer(voff), pa.py_buffer(data)],
+        )
+        return t.append_column("payload", payload)
 
 
 def write_unique_chunks(
@@ -133,6 +155,11 @@ def write_unique_chunks(
     # by Ray's parallel writer — never concatenated on the driver.
     uniq.write_parquet(os.path.join(out_dir, "store"), partition_cols=["bucket"])
 
+    import json
+
+    with open(os.path.join(out_dir, "store_meta.json"), "w") as f:
+        json.dump({"prefix_bits": prefix_bits}, f)
+
     u = uniq.aggregate(Count(), Sum("length"))
     n_buckets = 1 << prefix_bits
     return {
@@ -144,20 +171,50 @@ def write_unique_chunks(
     }
 
 
+def store_paths_for_digests(out_dir: str, digests: list[bytes]) -> list[str]:
+    """Only the store files whose digest-prefix bucket can contain one of
+    `digests` — the pruning the bucket partitioning exists for. Falls back
+    to every bucket when the store predates store_meta.json."""
+    import glob
+    import json
+    import os
+
+    meta = os.path.join(out_dir, "store_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            prefix_bits = int(json.load(f)["prefix_bits"])
+        buckets = sorted({d[0] >> (8 - prefix_bits) for d in digests})
+        paths = [
+            p
+            for b in buckets
+            for p in glob.glob(f"{out_dir}/store/bucket={b}/*.parquet")
+        ]
+        return paths
+    return glob.glob(f"{out_dir}/store/bucket=*/*.parquet")
+
+
 def restore_document(out_dir: str, doc_id: int, id_col: str = "doc_id") -> bytes:
-    """Reassemble one document from recipes + store (byte-exact Copy)."""
+    """Reassemble one document from recipes + store (byte-exact Copy).
+
+    Reads ONLY the digest-prefix buckets the recipe's digests map to
+    (store_paths_for_digests) and pushes a digest membership filter into
+    the parquet scan — never the whole store."""
     import glob
 
     import pyarrow.dataset as pads
 
     recipes = pads.dataset(glob.glob(f"{out_dir}/recipes/*.parquet"))
     rec = recipes.to_table(filter=pads.field(id_col) == doc_id).sort_by("chunk_idx")
-    store = pads.dataset(glob.glob(f"{out_dir}/store/bucket=*/*.parquet"))
     digests = rec.column("digest").to_pylist()
-    need = set(digests)
-    payloads: dict[bytes, bytes] = {}
-    for batch in store.to_batches(columns=["digest", "payload"]):
-        for d, p in zip(batch.column("digest").to_pylist(), batch.column("payload").to_pylist()):
-            if d in need:
-                payloads[d] = p
+    if not digests:
+        return b""
+    paths = store_paths_for_digests(out_dir, digests)
+    store = pads.dataset(paths)
+    tbl = store.to_table(
+        columns=["digest", "payload"],
+        filter=pads.field("digest").isin(list(set(digests))),
+    )
+    payloads = dict(
+        zip(tbl.column("digest").to_pylist(), tbl.column("payload").to_pylist())
+    )
     return b"".join(payloads[d] for d in digests)

@@ -80,3 +80,49 @@ def test_resumable_flagship(ray_session, tmp_path):
                                       num_perm=96, bands=32)
     assert as_map(cl2) == as_map(base)
     assert len(log.manifest()) == 4
+
+
+def test_restore_prunes_to_needed_buckets(ray_session, tmp_path):
+    """restore_document must open only the digest-prefix buckets its recipe
+    needs (the point of the bucket partitioning), and the pruned path list
+    must still restore byte-exactly."""
+    import glob
+
+    import ray.data
+
+    from plakar_ray.opts import ChunkerOpts
+    from plakar_ray.pipelines.store import (
+        restore_document,
+        store_paths_for_digests,
+        write_unique_chunks,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, 30000)) for _ in range(8)]
+    table = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = str(tmp_path / "store")
+    write_unique_chunks(
+        ray.data.from_arrow(table), out, "fastcdc-v1.0.0", ChunkerOpts(256, 4096, 1024)
+    )
+
+    import pyarrow.dataset as pads
+
+    recipes = pads.dataset(glob.glob(f"{out}/recipes/*.parquet"))
+    rec = recipes.to_table(filter=pads.field("doc_id") == 3)
+    digests = rec.column("digest").to_pylist()
+    paths = store_paths_for_digests(out, digests)
+    all_paths = glob.glob(f"{out}/store/bucket=*/*.parquet")
+    need_buckets = {d[0] >> 4 for d in digests}
+    got_buckets = {int(p.split("bucket=")[1].split("/")[0]) for p in paths}
+    assert got_buckets == {
+        b for b in need_buckets
+        if glob.glob(f"{out}/store/bucket={b}/*.parquet")
+    }
+    # pruning is real: one doc's chunks cannot need every bucket file here
+    assert len(paths) <= len(all_paths)
+    # a digest confined to one bucket prunes to exactly that bucket
+    one = store_paths_for_digests(out, digests[:1])
+    assert {int(p.split("bucket=")[1].split("/")[0]) for p in one} == {digests[0][0] >> 4}
+    assert restore_document(out, 3) == texts[3].encode()
