@@ -506,9 +506,13 @@ def q_embedding_ivf_topk_det(sf_dir: str) -> pa.Table:
 
     ids, vecs = _query_vectors(sf_dir)
     cent_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(cent_t.column("vec_id").to_numpy())[:N_IVF_DET_CENTROIDS]
+    # Same predicate as the DuckDB oracle (WHERE vec_id < N), not
+    # "N smallest ids" — they only coincide when ids are exactly 0..N-1.
+    vid = cent_t.column("vec_id").to_numpy()
+    sel = np.nonzero(vid < N_IVF_DET_CENTROIDS)[0]
+    sel = sel[np.argsort(vid[sel])]
     cent = np.stack(
-        [np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in order]
+        [np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in sel]
     )
     t = ivf_topk(
         _embeddings(sf_dir), vecs, ids, k=TOPK_K, n_probe=IVF_DET_PROBE,

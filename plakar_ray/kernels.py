@@ -925,7 +925,7 @@ def boundaries_stadia_multi(
             n = min(total - s, max_size)
             if n <= min_size:
                 lengths[d].append(n)
-                out[d] = np.asarray(lengths[d] , dtype=np.int64)
+                out[d] = np.asarray(lengths[d], dtype=np.int64)
                 return None
             j = bisect_left(cand_pos, s + min_size - 1, jptr[d])
             jptr[d] = j

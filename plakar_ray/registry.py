@@ -68,16 +68,20 @@ def register_chunker(spec: AlgorithmSpec) -> None:
     ALGORITHMS[spec.name] = spec
 
 
+# Modules that register extension algorithms on import. A Ray worker
+# process may not have imported them yet (the registry dict is
+# per-process), so get_algorithm resolves misses through this list once
+# before failing. A broken extension module raises its real ImportError
+# here rather than masquerading as "unknown algorithm".
+EXTENSION_MODULES: list[str] = ["plakar_ray.competitors"]
+
+
 def get_algorithm(name: str) -> AlgorithmSpec:
     if name not in ALGORITHMS:
-        # Extension algorithms register on module import; a Ray worker
-        # process may not have imported them yet (the registry dict is
-        # per-process), so resolve misses through the extension module
-        # once before failing.
-        try:
-            import plakar_ray.competitors  # noqa: F401
-        except ImportError:
-            pass
+        import importlib
+
+        for mod in EXTENSION_MODULES:
+            importlib.import_module(mod)
     if name not in ALGORITHMS:
         raise KeyError(f"unknown algorithm: {name}")
     return ALGORITHMS[name]

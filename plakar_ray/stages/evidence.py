@@ -186,7 +186,9 @@ def simhash_md5_batch(
     # ±1 per (token, bit), summed per doc-run in one reduceat.
     signs = (((hs[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int8) * 2 - 1)
     starts = np.cumsum(counts) - counts
-    sums = np.add.reduceat(signs.astype(np.int32), starts, axis=0)
+    # dtype=int32 accumulates inside reduceat without materializing a full
+    # int32 copy of the (tokens, 64) sign matrix (4x that matrix's bytes).
+    sums = np.add.reduceat(signs, starts, axis=0, dtype=np.int32)
     vals = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
         axis=1, dtype=np.uint64
     )
