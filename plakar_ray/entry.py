@@ -108,6 +108,30 @@ def q_resync_fastcdc(sf_dir: str) -> pa.Table:
     return resync(_docs(sf_dir, ["doc_id", "text"]), "fastcdc-v1.0.0", SMALL, edits=4, edit_size=1)
 
 
+def q_resync_fixed(sf_dir: str) -> pa.Table:
+    """SQL-oracle twin of resync: fixed chunks + md5 + spread edit model
+    (pipelines/dedup.py:resync_fixed_per_doc). Integer byte columns so the
+    driver's value hash is exact."""
+    from plakar_ray.pipelines.dedup import resync_fixed_per_doc
+
+    out = (
+        resync_fixed_per_doc(
+            _docs(sf_dir, ["doc_id", "text"]), chunk_size=FIXED_SIZE, edits=4
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "shared_bytes": pa.array(out["shared_bytes"], type=pa.int64()),
+            "edited_bytes": pa.array(out["edited_bytes"], type=pa.int64()),
+            "chunks_orig": pa.array(out["chunks_orig"], type=pa.int64()),
+            "chunks_edited": pa.array(out["chunks_edited"], type=pa.int64()),
+        }
+    )
+
+
 def q_exact_dedup_stats(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.dedup import exact_dedup_stats
 
@@ -809,6 +833,7 @@ def queries():
         "analyze_fastcdc": q_analyze_fastcdc,
         "compare_algos": q_compare_algos,
         "resync_fastcdc": q_resync_fastcdc,
+        "resync_fixed": q_resync_fixed,
         "exact_dedup_stats": q_exact_dedup_stats,
         "exact_dup_groups": q_exact_dup_groups,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
@@ -1334,6 +1359,60 @@ def oracle_sql():
                    c AS count,
                    floor((sum(c) OVER (ORDER BY bucket) / (SELECT count(*) FROM e)::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS cdf_e6
             FROM j ORDER BY bucket
+        """,
+        "resync_fixed": f"""
+            WITH base AS (
+              SELECT doc_id, text AS t, octet_length(text::BLOB)::BIGINT AS L
+              FROM documents
+            ), ed AS (
+              SELECT doc_id, t, L,
+                     substr(t, 1, (L * 1) // 5)
+                  || 'X' || substr(t, (L * 1) // 5 + 1, (L * 2) // 5 - (L * 1) // 5)
+                  || 'X' || substr(t, (L * 2) // 5 + 1, (L * 3) // 5 - (L * 2) // 5)
+                  || 'X' || substr(t, (L * 3) // 5 + 1, (L * 4) // 5 - (L * 3) // 5)
+                  || 'X' || substr(t, (L * 4) // 5 + 1) AS te
+              FROM base
+            ), oc AS (
+              SELECT b.doc_id,
+                     md5(substr(b.t, (g.i * {FIXED_SIZE})::BIGINT + 1, {FIXED_SIZE}::BIGINT)) AS h
+              FROM ed b
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(b.L / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+              WHERE b.L > 0
+            ), ec AS (
+              SELECT b.doc_id,
+                     md5(substr(b.te, (g.i * {FIXED_SIZE})::BIGINT + 1, {FIXED_SIZE}::BIGINT)) AS h,
+                     least({FIXED_SIZE}, octet_length(b.te::BLOB) - g.i * {FIXED_SIZE})::BIGINT AS len
+              FROM ed b
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(octet_length(b.te::BLOB) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+            ), ou AS (
+              SELECT DISTINCT doc_id, h FROM oc
+            ), eu AS (
+              SELECT doc_id, h, min(len) AS len FROM ec GROUP BY doc_id, h
+            ), agg AS (
+              SELECT e.doc_id,
+                     sum(CASE WHEN o.h IS NOT NULL THEN e.len ELSE 0 END)::BIGINT AS shared_bytes,
+                     count(*)::BIGINT AS chunks_edited
+              FROM eu e LEFT JOIN ou o ON e.doc_id = o.doc_id AND e.h = o.h
+              GROUP BY e.doc_id
+            ), tot AS (
+              SELECT doc_id, sum(len)::BIGINT AS edited_bytes FROM ec GROUP BY doc_id
+            ), oagg AS (
+              SELECT doc_id, count(*)::BIGINT AS chunks_orig FROM ou GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   COALESCE(a.shared_bytes, 0)::BIGINT AS shared_bytes,
+                   COALESCE(t2.edited_bytes, 0)::BIGINT AS edited_bytes,
+                   COALESCE(og.chunks_orig, 0)::BIGINT AS chunks_orig,
+                   COALESCE(a.chunks_edited, 0)::BIGINT AS chunks_edited
+            FROM base b
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN tot t2 USING (doc_id)
+            LEFT JOIN oagg og USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "dedup_ratio_sweep_fixed": "\nUNION ALL\n".join(
             f"""

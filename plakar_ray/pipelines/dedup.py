@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from plakar_ray.functions.arrowbytes import byte_views
 from plakar_ray.opts import ChunkerOpts
-from plakar_ray.sources.pages import apply_insertions
+from plakar_ray.sources.pages import apply_insertions, apply_spread_insertions
 from plakar_ray.stages.chunk import ChunkerStage, chunk_dataset, default_pool_size
 from plakar_ray.stages.lsh import candidate_pairs
 from plakar_ray.stages.minhash import minhash_signatures
@@ -536,6 +536,8 @@ class ResyncStage:
         seed: int = 1,
         id_col: str = "doc_id",
         text_col: str = "text",
+        digest: str = "sha256",
+        edit_mode: str = "prng",
     ):
         self.chunker = ChunkerStage(algo, opts, id_col=id_col, text_col=text_col)
         self.edits = edits
@@ -543,6 +545,10 @@ class ResyncStage:
         self.seed = seed
         self.id_col = id_col
         self.text_col = text_col
+        # md5 + 'spread' form the SQL-oracle twin: same chunk/membership
+        # machinery, DuckDB-reproducible digest and edit positions.
+        self._hash = hashlib.md5 if digest == "md5" else hashlib.sha256
+        self.edit_mode = edit_mode
 
     def _digest_set(self, doc: np.ndarray) -> tuple[dict, int]:
         lengths = self.chunker.chunk_doc(doc)
@@ -553,22 +559,27 @@ class ResyncStage:
             starts = ends - lengths
             mv = memoryview(doc)
             for a, b in zip(starts.tolist(), ends.tolist()):
-                out[hashlib.sha256(mv[a:b]).digest()] = b - a
+                out[self._hash(mv[a:b]).digest()] = b - a
                 total += b - a
         return out, total
+
+    def _edited(self, doc: bytes) -> bytes:
+        if self.edit_mode == "spread":
+            return apply_spread_insertions(doc, self.edits, b"X" * self.edit_size)
+        return apply_insertions(doc, self.edits, self.edit_size, self.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = byte_views(batch.column(self.text_col))
         n = len(batch)
         shared = np.zeros(n, dtype=np.float64)
+        shared_b = np.zeros(n, dtype=np.int64)
+        edited_b = np.zeros(n, dtype=np.int64)
         n_orig = np.zeros(n, dtype=np.int32)
         n_edit = np.zeros(n, dtype=np.int32)
         for i in range(n):
             doc = data[offsets[i] : offsets[i + 1]]
             orig_set, _ = self._digest_set(doc)
-            edited = apply_insertions(
-                doc.tobytes(), self.edits, self.edit_size, self.seed
-            )
+            edited = self._edited(doc.tobytes())
             edited_set, edited_bytes = self._digest_set(
                 np.frombuffer(edited, dtype=np.uint8)
             )
@@ -576,12 +587,16 @@ class ResyncStage:
                 ln for d, ln in edited_set.items() if d in orig_set
             )
             shared[i] = shared_bytes / edited_bytes if edited_bytes else 0.0
+            shared_b[i] = shared_bytes
+            edited_b[i] = edited_bytes
             n_orig[i] = len(orig_set)
             n_edit[i] = len(edited_set)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
                 "shared_frac": pa.array(shared),
+                "shared_bytes": pa.array(shared_b, type=pa.int64()),
+                "edited_bytes": pa.array(edited_b, type=pa.int64()),
                 "chunks_orig": pa.array(n_orig, type=pa.int32()),
                 "chunks_edited": pa.array(n_edit, type=pa.int32()),
             }
@@ -623,4 +638,36 @@ def resync(
             "mean_shared_frac": [float(agg["mean(shared_frac)"] or 0.0)],
             "n_docs": [int(agg["count()"])],
         }
+    )
+
+
+def resync_fixed_per_doc(
+    ds,
+    chunk_size: int = 256,
+    edits: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency=None,
+):
+    """SQL-oracle twin of the resync pipeline: fixed-size chunks, md5 digests,
+    and the deterministic 'spread' edit model, so DuckDB can reproduce the
+    edited copy and the digest-membership bytes exactly. Returns the per-doc
+    Dataset with integer shared/edited byte columns."""
+    if concurrency is None:
+        concurrency = default_pool_size()
+    return ds.map_batches(
+        ResyncStage,
+        fn_constructor_kwargs=dict(
+            algo="fixed-v1.0.0",
+            opts=ChunkerOpts(normal_size=chunk_size),
+            edits=edits,
+            edit_size=1,
+            id_col=id_col,
+            text_col=text_col,
+            digest="md5",
+            edit_mode="spread",
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
     )

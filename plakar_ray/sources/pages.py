@@ -85,6 +85,25 @@ def apply_insertions(data: bytes, n: int, edit_size: int, seed: int) -> bytes:
     return bytes(out)
 
 
+def apply_spread_insertions(data: bytes, n: int, marker: bytes = b"X") -> bytes:
+    """Deterministic edit model for SQL-oracle twins: insert `marker` at the
+    n evenly-spread positions p_j = (len*j)//(n+1), j=1..n, all expressed in
+    ORIGINAL-string coordinates (so DuckDB can rebuild the edited copy with
+    static substr/concat — no PRNG required). Semantics mirror the reference's
+    applyInsertions (cmd/cdc/resync.go:134-147) with positions made
+    closed-form instead of drawn from the seeded Go PRNG."""
+    size = len(data)
+    parts: list[bytes] = []
+    prev = 0
+    for j in range(1, n + 1):
+        pos = (size * j) // (n + 1)
+        parts.append(data[prev:pos])
+        parts.append(marker)
+        prev = pos
+    parts.append(data[prev:])
+    return b"".join(parts)
+
+
 def apply_insertions_ascii(data: bytes, n: int, edit_size: int, seed: int) -> bytes:
     """Like apply_insertions but inserted bytes are mapped to [a-z] so the
     result round-trips str<->utf-8 byte-identically (fixture texts live in

@@ -197,6 +197,46 @@ def test_resync(ray_session):
     assert r64.mean_shared_frac <= r1.mean_shared_frac
 
 
+def test_resync_fixed_twin(ray_session):
+    """The md5/spread SQL-oracle twin: scalar recomputation of the
+    digest-membership bytes must equal the pipeline's output."""
+    import hashlib
+
+    from plakar_ray.pipelines.dedup import resync_fixed_per_doc
+    from plakar_ray.sources.pages import apply_spread_insertions
+
+    rng = np.random.default_rng(11)
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, n)) for n in (0, 3, 700, 5000)]
+    # plant self-similarity so shared_bytes is nonzero: doc 4 repeats one block
+    texts.append(texts[3][:1024] * 4)
+    table = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts)}
+    )
+    out = (
+        resync_fixed_per_doc(_ds(table), chunk_size=256, edits=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def chunks(b: bytes):
+        return [b[i : i + 256] for i in range(0, len(b), 256)]
+
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        edited = apply_spread_insertions(raw, 4, b"X")
+        assert len(edited) == len(raw) + 4
+        oset = {hashlib.md5(c).digest() for c in chunks(raw)}
+        eset = {}
+        for c in chunks(edited):
+            eset[hashlib.md5(c).digest()] = len(c)
+        row = out.iloc[i]
+        assert row.shared_bytes == sum(l for d, l in eset.items() if d in oset)
+        assert row.edited_bytes == len(edited)
+        assert row.chunks_orig == len(oset)
+        assert row.chunks_edited == len(eset)
+
+
 def test_label_propagation_matches_unionfind(ray_session):
     import ray.data
 
