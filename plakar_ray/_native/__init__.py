@@ -43,6 +43,8 @@ _SIGNATURES = {
     "ultracdc_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _u64, _u64, _i64, _int, _p_i64, _p_i64],
     "stadia_doc": [_p_u8, _i64, _i64, _i64, _i64, _p_u64, _p_i64],
     "stadia_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _p_u64, _p_i64, _p_i64],
+    "fnv1a64_segments": [_p_u8, _p_i64, _i64, _p_u64],
+    "wfnv64_segments": [_p_u8, _p_i64, _i64, _p_u64],
 }
 
 _lib = None
@@ -188,6 +190,25 @@ def ultracdc_multi(lib, data, doc_offsets, opts, mask_s, mask_l, lest,
                        int(spec_faithful), out.ctypes.data_as(_p_i64),
                        counts.ctypes.data_as(_p_i64))
     return _split(out[:int(counts.sum())], counts)
+
+
+def fnv_segments(lib, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    return _segments_hash(lib.fnv1a64_segments, lengths, data)
+
+
+def wfnv_segments(lib, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    return _segments_hash(lib.wfnv64_segments, lengths, data)
+
+
+def _segments_hash(fn, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    n = lengths.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    keep, p = _doc_ptr(data)
+    lens = np.ascontiguousarray(lengths.astype(np.int64, copy=False))
+    fn(p, lens.ctypes.data_as(_p_i64), n, out.ctypes.data_as(_p_u64))
+    return out
 
 
 def stadia_doc(lib, data, opts, gear) -> np.ndarray:

@@ -338,3 +338,60 @@ int64_t stadia_multi(const uint8_t *data, const int64_t *offsets,
     }
     return m;
 }
+
+/* -------------------------------------------------- segment hashing ----- */
+
+/* FNV-1a 64 of each contiguous segment of `data` (segments tile the byte
+ * stream: sum(lengths) == total data bytes). Used for CDC chunk shingles in
+ * the near-dup signature path, where a strong 64-bit hash suffices —
+ * identical values to functions/strhash.py:fnv1a64_slices, which is the
+ * vectorized-numpy fallback. */
+int64_t fnv1a64_segments(const uint8_t *data, const int64_t *lengths,
+                         int64_t n_segments, uint64_t *out) {
+    const uint64_t FNV_OFF = 0xcbf29ce484222325ULL;
+    const uint64_t FNV_PRIME = 0x100000001b3ULL;
+    const uint8_t *p = data;
+    for (int64_t i = 0; i < n_segments; i++) {
+        uint64_t h = FNV_OFF;
+        const int64_t len = lengths[i];
+        for (int64_t j = 0; j < len; j++)
+            h = (h ^ (uint64_t)p[j]) * FNV_PRIME;
+        out[i] = h;
+        p += len;
+    }
+    return n_segments;
+}
+
+/* Word-wise FNV-1a variant ("wfnv"): one xor-multiply per 8-byte
+ * little-endian word instead of per byte (8x fewer multiplies on the
+ * latency chain -> memory-bound ~6 GB/s vs ~0.6 GB/s for byte FNV).
+ * The final (h ^ len) * PRIME mix disambiguates zero-padded tails from
+ * genuinely shorter segments. Not standard FNV-1a — a repo-defined 64-bit
+ * shingle family; functions/strhash.py:wfnv64_segments_np is the
+ * bit-identical vectorized-numpy fallback. */
+int64_t wfnv64_segments(const uint8_t *data, const int64_t *lengths,
+                        int64_t n_segments, uint64_t *out) {
+    const uint64_t FNV_OFF = 0xcbf29ce484222325ULL;
+    const uint64_t FNV_PRIME = 0x100000001b3ULL;
+    const uint8_t *p = data;
+    for (int64_t i = 0; i < n_segments; i++) {
+        uint64_t h = FNV_OFF;
+        const int64_t len = lengths[i];
+        const int64_t nw = len >> 3;
+        for (int64_t j = 0; j < nw; j++) {
+            uint64_t w;
+            memcpy(&w, p + (j << 3), 8);
+            h = (h ^ w) * FNV_PRIME;
+        }
+        const int64_t rem = len & 7;
+        if (rem) {
+            uint64_t w = 0;
+            memcpy(&w, p + (nw << 3), (size_t)rem);
+            h = (h ^ w) * FNV_PRIME;
+        }
+        h = (h ^ (uint64_t)len) * FNV_PRIME;
+        out[i] = h;
+        p += len;
+    }
+    return n_segments;
+}

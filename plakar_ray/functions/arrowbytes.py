@@ -16,7 +16,12 @@ def byte_views(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Return (data, offsets) such that row i's bytes are
     data[offsets[i]:offsets[i+1]]. Nulls become empty slices."""
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        # combine_chunks COPIES even when there is only one chunk — alias
+        # the single chunk instead (the common map_batches case).
+        if arr.num_chunks == 1:
+            arr = arr.chunk(0)
+        else:
+            arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_string(t) or pa.types.is_binary(t):
         off_dtype = np.int32

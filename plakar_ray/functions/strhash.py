@@ -53,6 +53,75 @@ def fnv1a64_slices(starts: np.ndarray, ends: np.ndarray, data: np.ndarray) -> np
     return out
 
 
+def fnv1a64_segments(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 of each contiguous segment of `data` (segments tile the
+    byte stream exactly, the shape CDC chunk lengths have over a document
+    stream). Native C fast path (~4 GB/s); the vectorized positional scan
+    is the fallback and produces identical values."""
+    from plakar_ray import _native
+
+    lib = _native.load()
+    if lib is not None:
+        return _native.fnv_segments(lib, lengths, data)
+    ends = np.cumsum(lengths.astype(np.int64, copy=False))
+    starts = ends - lengths
+    return fnv1a64_slices(starts, ends, data)
+
+
+def wfnv64_segments(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Word-wise FNV-1a variant per contiguous segment: one xor-multiply per
+    8-byte little-endian word, zero-padded tail word, then a final
+    (h ^ len) * PRIME mix so padded tails can't collide with shorter
+    segments. ~6 GB/s in the native kernel (the byte-serial hashes are
+    latency-chain-bound at <1 GB/s) — the default CDC chunk-shingle family
+    for the near-dup path. Repo-defined, not standard FNV-1a."""
+    from plakar_ray import _native
+
+    lib = _native.load()
+    if lib is not None:
+        return _native.wfnv_segments(lib, lengths, data)
+    return _wfnv64_segments_np(lengths, data)
+
+
+def _wfnv64_segments_np(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Bit-identical vectorized fallback for wfnv64_segments: iterate over
+    WORD positions (longest-first shrinking active prefix, as in
+    fnv1a64_slices), assembling each segment's j-th little-endian word from
+    up to 8 byte gathers."""
+    n = lengths.shape[0]
+    h = np.full(n, _FNV_OFF, dtype=np.uint64)
+    if n == 0:
+        return h
+    lengths = lengths.astype(np.int64, copy=False)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    nwords = (lengths + 7) >> 3
+    max_w = int(nwords.max())
+    order = np.argsort(-nwords, kind="stable")
+    s_sorted = starts[order]
+    l_sorted = lengths[order]
+    nw_sorted = nwords[order]
+    h_sorted = h[order]
+    alive_at = np.searchsorted(-nw_sorted, -np.arange(1, max_w + 1), side="right")
+    for j in range(max_w):
+        k = alive_at[j]
+        if k == 0:
+            break
+        base = s_sorted[:k] + 8 * j
+        rem = l_sorted[:k] - 8 * j  # bytes remaining in this word, >= 1
+        w = np.zeros(k, dtype=np.uint64)
+        for b in range(8):
+            m = rem > b
+            if not m.any():
+                break
+            w[m] |= data[base[m] + b].astype(np.uint64) << _U64(8 * b)
+        h_sorted[:k] = (h_sorted[:k] ^ w) * _FNV_PRIME
+    h_sorted = (h_sorted ^ l_sorted.astype(np.uint64)) * _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h_sorted
+    return out
+
+
 def sha256_segments(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
     """First-8-bytes-of-sha256 of each contiguous segment of `data`.
 

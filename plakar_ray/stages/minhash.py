@@ -55,6 +55,7 @@ class MinHashStage:
         id_col: str = "doc_id",
         text_col: str = "text",
         shingle: str = "cdc",
+        chunk_hash: str = "wfnv",
     ):
         self.chunker = ChunkerStage(algo, opts, id_col=id_col, text_col=text_col)
         self.num_perm = num_perm
@@ -64,6 +65,17 @@ class MinHashStage:
         if shingle not in ("cdc", "word3"):
             raise ValueError(f"unknown shingle mode: {shingle}")
         self.shingle = shingle
+        # CDC chunk-shingle hash family. Shingles only need a strong 64-bit
+        # hash (two docs share a shingle iff they share a byte-identical
+        # chunk, up to 64-bit collisions at ~2^-64/pair): "wfnv" (word-wise
+        # FNV variant, strhash.wfnv64_segments) runs ~6 GB/s in the native
+        # kernel vs ~0.9 GB/s for C sha256 and ~0.6 GB/s for byte-serial
+        # FNV, removing the signature stage's residual gap vs boundary-only
+        # chunking. "fnv" is standard byte FNV-1a; "sha256" keeps the legacy
+        # first-8-bytes-of-sha256 family.
+        if chunk_hash not in ("wfnv", "fnv", "sha256"):
+            raise ValueError(f"unknown chunk_hash: {chunk_hash}")
+        self.chunk_hash = chunk_hash
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         """(k,) uint64 shingles -> (P,) uint64 signature."""
@@ -92,20 +104,29 @@ class MinHashStage:
             out[i] = h
         return _splitmix64(out) if out.shape[0] else out
 
+    def _segment_hash(self, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+        from plakar_ray.functions.strhash import (
+            fnv1a64_segments,
+            sha256_segments,
+            wfnv64_segments,
+        )
+
+        if self.chunk_hash == "wfnv":
+            return wfnv64_segments(lengths, data)
+        if self.chunk_hash == "fnv":
+            return fnv1a64_segments(lengths, data)
+        return sha256_segments(lengths, data)
+
     def _cdc_shingles(self, doc: np.ndarray, lengths: np.ndarray | None = None) -> np.ndarray:
-        """Chunk shingles = first-8-bytes-of-sha256 per CDC chunk.
-
-        hashlib's C sha256 runs >1 GB/s at CDC chunk sizes, so the hash
-        itself is not the hot part (see strhash.sha256_segments); the
-        flagship's former cost was the per-DOC Python loop + per-doc
-        np.unique + per-doc signature calls, removed by _cdc_batch."""
-        from plakar_ray.functions.strhash import sha256_segments
-
+        """Chunk shingles = one 64-bit hash per CDC chunk (self.chunk_hash
+        family; see __init__). The flagship's former cost was the per-DOC
+        Python loop + per-doc np.unique + per-doc signature calls, removed
+        by _cdc_batch."""
         if lengths is None:
             lengths = self.chunker.chunk_doc(doc)
         if lengths.shape[0] == 0:
             return np.empty(0, dtype=np.uint64)
-        return sha256_segments(lengths, doc)
+        return self._segment_hash(lengths, doc)
 
     def _word3_batch(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized word-3-gram shingles + signatures for a whole batch.
@@ -192,14 +213,12 @@ class MinHashStage:
 
     def _cdc_batch(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """Fully batched CDC path: ONE boundary pass (batched frontier
-        kernels), one C-speed sha256 pass over every chunk in the batch
+        kernels), one C-speed segment-hash pass over every chunk in the batch
         (chunks tile the doc byte stream contiguously), then per-doc
         signature minima via permutation-blocked reduceat — no per-doc
         Python loop, no per-doc np.unique, no per-doc signature() calls.
-        Signature-identical to the scalar path (same sha256[:8] shingle
+        Signature-identical to the scalar path (same chunk_hash shingle
         family; duplicate shingles never change a min)."""
-        from plakar_ray.functions.strhash import sha256_segments
-
         n = len(batch)
         data, offsets = byte_views(batch.column(self.text_col))
         multi = self.chunker.spec.boundaries_multi
@@ -220,7 +239,7 @@ class MinHashStage:
             return sigs, n_shingles
         lengths = np.concatenate(per_doc) if n > 1 else per_doc[0]
         # chunk lengths tile the rows' value-buffer region exactly
-        shingles = sha256_segments(lengths, data[offsets[0] : offsets[-1]])
+        shingles = self._segment_hash(lengths, data[offsets[0] : offsets[-1]])
         goff = np.cumsum(counts) - counts
         safe = np.minimum(goff, total - 1)
         p_block = max(1, (100 << 20) // (8 * total))
@@ -256,9 +275,11 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=64)
-def _cached_minhash_stage(algo, opts, num_perm, seed, id_col, text_col, shingle) -> "MinHashStage":
+def _cached_minhash_stage(
+    algo, opts, num_perm, seed, id_col, text_col, shingle, chunk_hash="wfnv"
+) -> "MinHashStage":
     return MinHashStage(algo, opts, num_perm=num_perm, seed=seed, id_col=id_col,
-                        text_col=text_col, shingle=shingle)
+                        text_col=text_col, shingle=shingle, chunk_hash=chunk_hash)
 
 
 def minhash_signatures(
