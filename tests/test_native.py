@@ -78,3 +78,56 @@ def test_native_multi_matches_per_doc(algo):
     assert len(multi) == len(docs)
     for got, doc in zip(multi, docs):
         assert got.tolist() == spec.boundaries(cfg, o, doc).tolist()
+
+
+def test_segment_hashes_native_vs_numpy_vs_scalar():
+    """fnv1a64_segments and wfnv64_segments: native C == vectorized numpy ==
+    a scalar spec recomputation, over mixed segment lengths incl. 0 and
+    sub-word tails."""
+    from plakar_ray.functions.strhash import (
+        _wfnv64_segments_np,
+        fnv1a64_slices,
+        fnv1a64_segments,
+        wfnv64_segments,
+    )
+
+    rng = np.random.default_rng(13)
+    lengths = np.array([0, 1, 3, 7, 8, 9, 15, 16, 17, 255, 256, 8192, 5], dtype=np.int64)
+    data = rng.integers(0, 256, int(lengths.sum()), dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+
+    lib = _native._compile_and_bind()
+    assert lib is not None
+
+    # byte FNV-1a: native vs the long-vetted positional numpy scan
+    h_native = _native.fnv_segments(lib, lengths, data)
+    assert h_native.tolist() == fnv1a64_slices(starts, ends, data).tolist()
+    assert fnv1a64_segments(lengths, data).tolist() == h_native.tolist()
+
+    # wfnv: native vs numpy fallback vs scalar spec
+    w_native = _native.wfnv_segments(lib, lengths, data)
+    assert w_native.tolist() == _wfnv64_segments_np(lengths, data).tolist()
+    assert wfnv64_segments(lengths, data).tolist() == w_native.tolist()
+
+    OFF, P, M = 0xCBF29CE484222325, 0x100000001B3, (1 << 64) - 1
+
+    def scalar_wfnv(b: bytes) -> int:
+        h = OFF
+        for j in range(0, len(b) // 8 * 8, 8):
+            h = ((h ^ int.from_bytes(b[j : j + 8], "little")) * P) & M
+        rem = len(b) % 8
+        if rem:
+            tail = b[len(b) - rem :] + b"\0" * (8 - rem)
+            h = ((h ^ int.from_bytes(tail, "little")) * P) & M
+        return ((h ^ len(b)) * P) & M
+
+    for i in range(len(lengths)):
+        seg = data[starts[i] : ends[i]].tobytes()
+        assert int(w_native[i]) == scalar_wfnv(seg), i
+
+    # padded-tail vs shorter-segment disambiguation: "ab" != "ab\0"
+    two = np.array([2, 3], dtype=np.int64)
+    buf = np.frombuffer(b"ab" + b"ab\0", dtype=np.uint8)
+    out = wfnv64_segments(two, buf)
+    assert out[0] != out[1]
