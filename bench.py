@@ -382,6 +382,15 @@ def main():
                 f"peak_rss_total_mb_{ns[1]}cpu": results[ns[1]]["chunking"]["peak_rss_total_mb"],
                 f"steal_pct_{ns[0]}cpu": results[ns[0]].get("steal_pct", 0.0),
                 f"steal_pct_{ns[1]}cpu": results[ns[1]].get("steal_pct", 0.0),
+                # concurrency-vs-memory study (reference README.md:116-132:
+                # workers vs peak RSS): same 8 GiB page corpus, both worker
+                # counts, peak per-worker and aggregate RSS per stage.
+                f"peak_rss_worker_mb_{ns[0]}cpu": results[ns[0]]["chunking"]["peak_rss_worker_mb"],
+                f"peak_rss_worker_mb_{ns[1]}cpu": results[ns[1]]["chunking"]["peak_rss_worker_mb"],
+                f"minhash_rss_total_mb_{ns[0]}cpu": results[ns[0]]["minhash"]["peak_rss_total_mb"],
+                f"minhash_rss_total_mb_{ns[1]}cpu": results[ns[1]]["minhash"]["peak_rss_total_mb"],
+                f"minhash_rss_worker_mb_{ns[0]}cpu": results[ns[0]]["minhash"]["peak_rss_worker_mb"],
+                f"minhash_rss_worker_mb_{ns[1]}cpu": results[ns[1]]["minhash"]["peak_rss_worker_mb"],
             },
         }
         print(json.dumps(out))

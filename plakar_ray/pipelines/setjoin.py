@@ -90,7 +90,12 @@ class TokenCountStage:
         uniq, cnt = np.unique(h, return_counts=True)
         return pa.table(
             {
-                "thash": pa.array(uniq, type=pa.uint64()),
+                # int64 BIT VIEW of the uint64 hash: Ray's hash-shuffle
+                # reduce materializes group keys as Python ints, and values
+                # >= 2^63 overflow Arrow int64 inference, silently degrading
+                # the whole column to pickled-object blocks. Same bits, no
+                # overflow, identical grouping.
+                "thash": pa.array(uniq.view(np.int64), type=pa.int64()),
                 "partial": pa.array(cnt, type=pa.int64()),
             }
         )
@@ -333,7 +338,7 @@ def token_jaccard_join(
         .map_batches(topk, batch_size=None, batch_format="pyarrow")
         .take_all()
     )
-    head_hashes = np.array([r["thash"] for r in head_rows], dtype=np.uint64)
+    head_hashes = np.array([r["thash"] for r in head_rows], dtype=np.int64).view(np.uint64)
     head_cnt = np.array([r["sum(partial)"] for r in head_rows], dtype=np.int64)
     # ascending frequency, hash tie-break — rare head tokens get the
     # smallest head ranks; all head ranks are odd and >= 2^62, above every
