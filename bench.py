@@ -279,6 +279,9 @@ def bench_queries(sf_dir: str) -> dict:
         "cross_doc_dup_bytes",
         "doc_quality",
         "lang_id",
+        # evidence-twin guard (VERDICT r2 #9): the md5 verification path
+        # must not silently dominate if the driver scales its check corpus.
+        "minhash_lsh_clusters_md5",
     ]
     qs = E.queries()
     out = {}

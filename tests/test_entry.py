@@ -92,3 +92,18 @@ def test_broadcast_join(ray_session):
     left = broadcast_join(ray.data.from_arrow(big), dim, on="k", small_on="key", how="left").to_pandas()
     assert len(left) == 5
     assert left.loc[left.k == 9, "name"].isna().all()
+
+
+def test_evidence_twin_budget(ray_session):
+    """Guard the md5 evidence path's Python loop: the twin must stay cheap
+    at oracle scale (sf0.001 < 2 s warm) so it can't silently dominate a
+    scaled-up driver check corpus."""
+    import time
+
+    from plakar_ray import entry as E
+
+    q = E.queries()["minhash_lsh_clusters_md5"]
+    q(SF)  # warm workers/caches
+    t0 = time.time()
+    q(SF)
+    assert time.time() - t0 < 2.0

@@ -255,13 +255,40 @@ def test_label_propagation_matches_unionfind(ray_session):
     got_df = got_ds.to_pandas()  # single execution: row order differs per run
     got = dict(zip(got_df["id"].tolist(), got_df["cluster_id"].tolist()))
     assert got == want
-    # Convergence rows: one per round, label_sum monotone non-increasing,
-    # final two rounds equal (the stop condition).
+    # Convergence rows: one per round; the stop condition is two identical
+    # consecutive (edges, edge_hash) states.
     assert len(metrics) >= 2
-    sums = [m["label_sum"] for m in metrics]
-    assert all(a >= b for a, b in zip(sums, sums[1:]))
-    assert sums[-1] == sums[-2]
-    assert metrics[0]["n_nodes"] == len(want)
+    states = [(m["edges"], m["edge_hash"]) for m in metrics]
+    assert states[-1] == states[-2]
+    # converged state is one star per component: one edge per non-root node
+    n_roots = len(set(want.values()))
+    assert states[-1][0] == len(want) - n_roots
+
+
+def test_label_propagation_long_chain(ray_session):
+    """Star-alternation: a 300-node path (the diameter worst case) must
+    converge within ~10 rounds and equal the driver union-find. Plain
+    min-label propagation would need ~300 rounds here."""
+    import ray.data
+
+    from plakar_ray.state.unionfind import connected_components, label_propagation
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(300).astype(np.int64) + 1000
+    edges = list(zip(ids[:-1].tolist(), ids[1:].tolist()))
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    want = connected_components(edges)
+    metrics = []
+    got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics)
+    got_df = got_ds.to_pandas()
+    got = dict(zip(got_df["id"].tolist(), got_df["cluster_id"].tolist()))
+    assert got == want
+    assert len(metrics) <= 15
 
 
 def test_near_dup_clusters_distributed_cc_matches_unionfind(ray_session):
