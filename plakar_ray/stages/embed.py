@@ -15,6 +15,39 @@ import numpy as np
 import pyarrow as pa
 
 
+
+def _merge_topk_driver(merged, k: int, exclude_self: bool) -> pa.Table:
+    """Vectorized per-query top-k over the gathered per-block candidates
+    (the driver table is bounded by nq x k rows per block — small by
+    contract). Exact semantics of the former pandas groupby merge: cosine
+    desc, neighbor_id asc tie-break, rank 1..k, cosine rounded to 6dp."""
+    qa = merged["query_id"].to_numpy()
+    na = merged["neighbor_id"].to_numpy()
+    ca = merged["cosine"].to_numpy()
+    if exclude_self:
+        keep = na != qa
+        qa, na, ca = qa[keep], na[keep], ca[keep]
+    order = np.lexsort((na, -ca, qa))
+    qa, na, ca = qa[order], na[order], ca[order]
+    if qa.shape[0]:
+        starts = np.flatnonzero(np.concatenate(([True], qa[1:] != qa[:-1])))
+        sizes = np.diff(np.concatenate((starts, [qa.shape[0]])))
+        pos = np.arange(qa.shape[0]) - np.repeat(starts, sizes)
+        keep = pos < k
+        qa, na, ca = qa[keep], na[keep], ca[keep]
+        rank = pos[keep] + 1
+    else:
+        rank = np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qa, type=pa.int64()),
+            "rank": pa.array(rank.astype(np.int32), type=pa.int32()),
+            "neighbor_id": pa.array(na, type=pa.int64()),
+            "cosine": pa.array([round(float(x), 6) for x in ca], type=pa.float64()),
+        }
+    )
+
+
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
@@ -75,23 +108,7 @@ def brute_force_topk(
         )
 
     parts = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    merged = parts.to_pandas()
-    out_rows = []
-    for qid, grp in merged.groupby("query_id"):
-        if exclude_self:
-            grp = grp[grp.neighbor_id != qid]
-        grp = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), 1):
-            out_rows.append((int(qid), rank, int(r.neighbor_id), float(r.cosine)))
-    out_rows.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
-            "neighbor_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cosine": pa.array([round(r[3], 6) for r in out_rows], type=pa.float64()),
-        }
-    )
+    return _merge_topk_driver(parts.to_pandas(), k, exclude_self)
 
 
 def ivf_topk(
@@ -169,23 +186,7 @@ def ivf_topk(
         )
 
     parts = ds.map_batches(batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    merged = parts.to_pandas()
-    out_rows = []
-    for qid, grp in merged.groupby("query_id"):
-        if exclude_self:
-            grp = grp[grp.neighbor_id != qid]
-        grp = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), 1):
-            out_rows.append((int(qid), rank, int(r.neighbor_id), float(r.cosine)))
-    out_rows.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
-            "rank": pa.array([r[1] for r in out_rows], type=pa.int32()),
-            "neighbor_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
-            "cosine": pa.array([round(r[3], 6) for r in out_rows], type=pa.float64()),
-        }
-    )
+    return _merge_topk_driver(parts.to_pandas(), k, exclude_self)
 
 
 def hyperplane_lsh_pairs(
