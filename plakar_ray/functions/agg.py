@@ -23,7 +23,7 @@ def gated_groupby_sum(parts, keys, sum_cols, local_threshold: int = 1_000_000):
         keys = [keys]
     parts = parts.materialize()
     if local_threshold and parts.count() <= local_threshold:
-        tables = [b for b in parts.iter_batches(batch_format="pyarrow") if len(b)]
+        tables = [b for b in parts.iter_batches(batch_format="pyarrow", batch_size=None) if len(b)]
         if tables:
             g = pa.concat_tables(tables).group_by(keys).aggregate(
                 [(c, "sum") for c in sum_cols]

@@ -102,7 +102,7 @@ def _unique_digest_totals(
 
     if local_threshold and parts.count() <= local_threshold:
         digs, lens = [], []
-        for b in parts.iter_batches(batch_format="pyarrow"):
+        for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
             if len(b):
                 digs.append(np.asarray(
                     b.column("digest").to_numpy(zero_copy_only=False), dtype="S64"

@@ -107,7 +107,7 @@ def exact_dup_groups(
 
     digests = digests.materialize()
     if local_threshold and digests.count() <= local_threshold:
-        tables = [b for b in digests.iter_batches(batch_format="pyarrow") if len(b)]
+        tables = [b for b in digests.iter_batches(batch_format="pyarrow", batch_size=None) if len(b)]
         merged = pa.concat_tables(tables) if tables else _text_digest_batch(
             pa.table({id_col: pa.array([], type=pa.int64()),
                       text_col: pa.array([], type=pa.string())}),
@@ -147,7 +147,7 @@ def exact_dedup_stats(
     ).materialize()
     if local_threshold and digests.count() <= local_threshold:
         md5s, lens = [], []
-        for b in digests.iter_batches(batch_format="pyarrow"):
+        for b in digests.iter_batches(batch_format="pyarrow", batch_size=None):
             if len(b):
                 md5s.append(np.asarray(
                     b.column("text_md5").to_numpy(zero_copy_only=False), dtype="S40"
@@ -485,7 +485,7 @@ def cross_doc_dup_bytes(
     if local_threshold and chunks.count() <= local_threshold:
         import ray.data
 
-        tables = [b for b in chunks.iter_batches(batch_format="pyarrow") if len(b)]
+        tables = [b for b in chunks.iter_batches(batch_format="pyarrow", batch_size=None) if len(b)]
         if not tables:
             return ray.data.from_arrow(partial_dup_sums(
                 pa.table({"digest64": pa.array([], type=pa.uint64()),

@@ -255,7 +255,7 @@ def sessionize(
     # Only (user, ts) ever moves — never the event payload columns.
     slim = ds.select_columns([user_col, ts_col]).materialize()
     if local_threshold and slim.count() <= local_threshold:
-        tables = [b for b in slim.iter_batches(batch_format="pyarrow") if len(b)]
+        tables = [b for b in slim.iter_batches(batch_format="pyarrow", batch_size=None) if len(b)]
         merged = (
             pa.concat_tables(tables)
             if tables

@@ -98,7 +98,7 @@ def page_near_dup_clusters(
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
     url_map = {}
-    for b in prepped.iter_batches(batch_format="pyarrow"):
+    for b in prepped.iter_batches(batch_format="pyarrow", batch_size=None):
         url_map.update(zip(b.column("doc_id").to_pylist(), b.column("url").to_pylist()))
     clusters = near_dup_clusters(
         prepped, algo, opts, num_perm=num_perm, bands=bands,

@@ -122,7 +122,7 @@ def top_tokens(
     ).materialize()
 
     if local_threshold and parts.count() <= local_threshold:
-        tables = [b for b in parts.iter_batches(batch_format="pyarrow") if len(b)]
+        tables = [b for b in parts.iter_batches(batch_format="pyarrow", batch_size=None) if len(b)]
         merged = (
             pa.concat_tables(tables)
             if tables

@@ -335,7 +335,7 @@ def cosine_near_dup_pairs(
     parts = ray.data.from_items(pair_index).map_batches(
         pairs_for_block_pair, batch_format="pyarrow", batch_size=4
     )
-    collected = [b for b in parts.iter_batches(batch_format="pyarrow") if b.num_rows]
+    collected = [b for b in parts.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
     if not collected:
         return pa.table(
             {

@@ -215,7 +215,7 @@ def _local_candidate_pairs(
     import ray.data
 
     ids_parts, sig_parts = [], []
-    for b in sig_ds.iter_batches(batch_format="pyarrow"):
+    for b in sig_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         if "n_shingles" in b.column_names and min_shingles > 0:
             import pyarrow.compute as pc
 

@@ -213,7 +213,7 @@ def pieces_to_pairs(
     # keeps the branch below from re-running the sketch stage.
     pieces = pieces.materialize()
     if local_threshold and pieces.count() <= local_threshold:
-        tables = [b for b in pieces.iter_batches(batch_format="pyarrow") if len(b)]
+        tables = [b for b in pieces.iter_batches(batch_format="pyarrow", batch_size=None) if len(b)]
         if not tables:
             return ray.data.from_arrow(_bucket_hamming_pairs(
                 np.empty(0, np.int32), np.empty(0, np.uint64),

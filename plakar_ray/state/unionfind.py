@@ -149,7 +149,10 @@ def connected_components_ds(edges_ds, a_col: str = "id_a", b_col: str = "id_b") 
 
     first = True
     uf = None
-    for batch in edges_ds.iter_batches(batch_format="pyarrow"):
+    # batch_size=None yields WHOLE blocks: iter_batches' default 4096-row
+    # slicing makes _intern re-sort the accumulated key table per sliver
+    # (470 sorts at 2M edges = minutes; whole blocks = seconds).
+    for batch in edges_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         if first:
             first = False
             int_ids = pt.is_integer(batch.schema.field(a_col).type) and pt.is_integer(
@@ -197,6 +200,7 @@ def label_propagation(
     persist these as convergence evidence; the stop condition is two
     consecutive rounds with identical (edge_count, exact 64-bit hash sum).
     """
+    import os
     import time
 
     import numpy as np
@@ -377,6 +381,9 @@ def label_propagation(
                     "wall_s": round(time.time() - t0, 3),
                 }
             )
+        if os.environ.get("LP_VERBOSE"):
+            print(f"[label_propagation] round {rnd}: edges={cur[0]:,} "
+                  f"wall={time.time() - t0:.1f}s", flush=True)
         if cur == prev:
             break
         prev = cur
