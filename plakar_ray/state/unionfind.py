@@ -194,8 +194,13 @@ def label_propagation(
     links). Nothing is collected to or broadcast from the driver; only
     block refs and one (count, hash) aggregate per round pass through it.
 
-    Returns a Dataset (id, cluster_id = min member id) over every node
-    touched by an edge. If `metrics` is a list, one row per completed
+    Skew note: once a giant component contracts toward a star, its hub's
+    whole neighborhood lands in one large-star partition (rows only — node
+    pairs, no payloads; ~16 B/edge). A 10^8-member boilerplate cluster is
+    ~1.6 GB in one partition: acceptable at deployment block sizes, and
+    upstream salted LSH buckets already cap how fast any single component
+    can grow per round. Returns a Dataset (id, cluster_id = min member id)
+    over every node touched by an edge. If `metrics` is a list, one row per completed
     round is appended: {"round", "edges", "edge_hash", "wall_s"} — callers
     persist these as convergence evidence; the stop condition is two
     consecutive rounds with identical (edge_count, exact 64-bit hash sum).
