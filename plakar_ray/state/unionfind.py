@@ -5,10 +5,10 @@ Two paths:
   edge Dataset/iterable — edges are one row per candidate pair, orders of
   magnitude smaller than the corpus, so this holds to large scale; the
   result maps each touched id to its cluster representative (min id).
-* `label_propagation`: iterative min-label propagation expressed as Ray Data
-  groupby rounds for when even the edge list exceeds the driver — each round
-  is one shuffle keyed on node id; converges in O(diameter) rounds (dup
-  clusters are near-cliques from LSH buckets, so diameter is tiny).
+* `label_propagation`: distributed connected components for when even the
+  edge list exceeds the driver — alternating large-star/small-star edge
+  rewrites (Kiveris et al. 2014) as keyed hash-partition exchanges,
+  O(log^2 n) rounds with vectorized per-partition star ops.
 """
 
 from __future__ import annotations
@@ -168,6 +168,7 @@ def connected_components_ds(edges_ds, a_col: str = "id_a", b_col: str = "id_b") 
             for a, b in zip(batch.column(a_col).to_pylist(), batch.column(b_col).to_pylist()):
                 uf.union(a, b)
     return uf.components() if uf is not None else {}
+
 
 def label_propagation(
     edges_ds,
