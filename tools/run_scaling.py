@@ -120,6 +120,13 @@ def main():
         "queries": {
             "signatures_efficiency_median": med("signatures_efficiency"),
             "minhash_efficiency_median": med("minhash_efficiency"),
+            # concurrency-vs-memory study rows (reference README.md:116-132):
+            # median peak RSS per stage at both worker counts.
+            **{
+                f"{k}_median": med(k)
+                for k in sorted(runs[-1]["queries"])
+                if "rss" in k
+            },
             **runs[-1]["queries"],
         },
     }
