@@ -306,10 +306,19 @@ def run_once(mode: str) -> dict:
     corpus = synthetic_corpus(NUM_CPUS)
     # testing.B-style: a warm pass, then best-of-N timed runs (shared-host
     # noise on this sandbox is +/-20%; the best run is the steady state).
-    repeats = 2
+    # N is adaptive on cumulative timed wall, not a fixed count: a 16-cpu
+    # signature pass is ~1.7 s while the 4-cpu pass is ~7 s, and a fixed N
+    # gives the short (high-CPU) side far less noise sampling — exactly the
+    # side whose throughput sits in the efficiency ratio's numerator. Each
+    # stage now accumulates >= BENCH_BEST_FLOOR_S (default 8 s) of timed
+    # runs at BOTH levels (min 2 runs, cap 5), so best-of windows are
+    # comparable across CPU levels.
+    floor_s = float(os.environ.get("BENCH_BEST_FLOOR_S", "8"))
 
-    def best(fn, n=repeats):
+    def best(fn, n=2):
         runs = [fn(corpus, NUM_CPUS) for _ in range(n)]
+        while sum(r["wall_s"] for r in runs) < floor_s and len(runs) < 5:
+            runs.append(fn(corpus, NUM_CPUS))
         return max(runs, key=lambda r: r["mb_per_s"])
 
     bench_chunking(corpus, NUM_CPUS)  # warm all workers

@@ -249,6 +249,25 @@ def q_minhash_lsh_clusters_md5(sf_dir: str) -> pa.Table:
     )
 
 
+def q_minhash_lsh_clusters_salted_md5(sf_dir: str) -> pa.Table:
+    """The SALTED hot-bucket machinery (sub-bucket split + 2-level hub
+    reconnect, stages/lsh.py) value-checked end-to-end: same md5 evidence
+    signatures and same recursive-CTE oracle as minhash_lsh_clusters_md5 —
+    salting must not change cluster assignments. local_threshold=0 forces
+    the distributed salted exchange the 100-TB deployment runs."""
+    from plakar_ray.pipelines.dedup import clusters_from_signatures
+    from plakar_ray.stages.evidence import ngram_minhash_signatures_wide
+
+    sigs = ngram_minhash_signatures_wide(_docs(sf_dir, ["doc_id", "text"]), num_perm=16)
+    out = clusters_from_signatures(sigs, bands=4, salt_buckets=4, local_threshold=0)
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id").cast(pa.int64()),
+            "cluster_id": out.column("cluster_id").cast(pa.int64()),
+        }
+    )
+
+
 def q_simhash_pairs_md5(sf_dir: str) -> pa.Table:
     """The production pigeonhole pipeline (simhash_pieces_batch ->
     pieces_to_pairs: piece exchange + bucket Hamming verify — the exact
@@ -843,6 +862,7 @@ def queries():
         "ngram_minhash_sigs": q_ngram_minhash_sigs,
         "simhash64": q_simhash64,
         "minhash_lsh_clusters_md5": q_minhash_lsh_clusters_md5,
+        "minhash_lsh_clusters_salted_md5": q_minhash_lsh_clusters_salted_md5,
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "embedding_srp_pairs_md5": q_embedding_srp_pairs_md5,
         "embedding_ivf_topk_det": q_embedding_ivf_topk_det,
@@ -893,7 +913,7 @@ WITH c AS (
 
 
 def oracle_sql():
-    return {
+    sql = {
         "chunk_explode_fixed": f"""
             SELECT d.doc_id,
                    g.i AS chunk_idx,
@@ -1435,6 +1455,10 @@ def oracle_sql():
             for size in DEDUP_SWEEP_FIXED_SIZES
         ),
     }
+    # Salting (sub-bucket split + hub reconnect) must not change cluster
+    # assignments, so the salted twin shares the unsalted oracle verbatim.
+    sql["minhash_lsh_clusters_salted_md5"] = sql["minhash_lsh_clusters_md5"]
+    return sql
 
 
 def entry():

@@ -96,3 +96,27 @@ def test_md5_clusters_distributed_path_identical(ray_session):
     )
     assert local.num_rows > 0
     assert local.equals(dist)
+
+
+def test_md5_clusters_salted_path_identical(ray_session):
+    """Salted hot-bucket machinery (sub-bucket split + 2-level hub
+    reconnect) must not change cluster assignments: the salted distributed
+    exchange equals the unsalted driver-local path on the md5 evidence
+    signatures — the invariant that lets minhash_lsh_clusters_salted_md5
+    share minhash_lsh_clusters_md5's SQL oracle verbatim."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+    from plakar_ray.pipelines.dedup import clusters_from_signatures
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    sigs = ev.ngram_minhash_signatures_wide(ray.data.from_arrow(t), num_perm=16)
+    plain = clusters_from_signatures(sigs.materialize(), bands=4)
+    sigs2 = ev.ngram_minhash_signatures_wide(ray.data.from_arrow(t), num_perm=16)
+    salted = clusters_from_signatures(
+        sigs2.materialize(), bands=4, salt_buckets=4, local_threshold=0
+    )
+    assert plain.num_rows > 0
+    assert plain.equals(salted)
