@@ -45,6 +45,7 @@ _SIGNATURES = {
     "stadia_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _i64, _p_u64, _p_i64, _p_i64],
     "fnv1a64_segments": [_p_u8, _p_i64, _i64, _p_u64],
     "wfnv64_segments": [_p_u8, _p_i64, _i64, _p_u64],
+    "minhash_minima": [_p_u64, _p_i64, _i64, _p_u64, _p_u64, _i64, _p_u64],
 }
 
 _lib = None
@@ -208,6 +209,26 @@ def _segments_hash(fn, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
     keep, p = _doc_ptr(data)
     lens = np.ascontiguousarray(lengths.astype(np.int64, copy=False))
     fn(p, lens.ctypes.data_as(_p_i64), n, out.ctypes.data_as(_p_u64))
+    return out
+
+
+def minhash_minima(lib, shingles: np.ndarray, offsets: np.ndarray,
+                   a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-doc splitmix64(a*s+b) minima; offsets is int64 (n_docs+1) with
+    offsets[-1] == shingles.shape[0]. Rows of shingle-less docs come back
+    all-UINT64_MAX."""
+    n_docs = offsets.shape[0] - 1
+    n_perm = a.shape[0]
+    out = np.empty((n_docs, n_perm), dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    sh = shingles if shingles.shape[0] else np.zeros(1, dtype=np.uint64)
+    sh, shp = _as_c(sh, _p_u64)
+    offs = np.ascontiguousarray(offsets.astype(np.int64, copy=False))
+    a, ap = _as_c(a, _p_u64)
+    b, bp = _as_c(b, _p_u64)
+    lib.minhash_minima(shp, offs.ctypes.data_as(_p_i64), n_docs, ap, bp,
+                       n_perm, out.ctypes.data_as(_p_u64))
     return out
 
 

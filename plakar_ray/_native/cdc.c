@@ -395,3 +395,36 @@ int64_t wfnv64_segments(const uint8_t *data, const int64_t *lengths,
     }
     return n_segments;
 }
+
+/* -------------------------------------------------- minhash minima ------ */
+
+/* Per-document MinHash signature minima over pre-hashed shingles.
+ * Shingles are doc-ordered and contiguous: document d owns
+ * shingles[offsets[d] .. offsets[d+1]).  For permutation p,
+ * out[d*n_perm + p] = min over the doc's shingles s of
+ * splitmix64(a[p]*s + b[p]) — bit-identical (mod-2^64 wraparound) to
+ * stages/minhash.py:_splitmix64 over numpy uint64.  Documents with no
+ * shingles keep UINT64_MAX sentinels.  The permutation loop is the
+ * vectorizable inner loop; the accumulator row (n_perm * 8 B) stays in
+ * L1 across a document's shingles. */
+int64_t minhash_minima(const uint64_t *shingles, const int64_t *offsets,
+                       int64_t n_docs, const uint64_t *a, const uint64_t *b,
+                       int64_t n_perm, uint64_t *out) {
+    for (int64_t d = 0; d < n_docs; d++) {
+        uint64_t *acc = out + d * n_perm;
+        for (int64_t p = 0; p < n_perm; p++)
+            acc[p] = UINT64_MAX;
+        for (int64_t i = offsets[d]; i < offsets[d + 1]; i++) {
+            const uint64_t s = shingles[i];
+            for (int64_t p = 0; p < n_perm; p++) {
+                uint64_t z = a[p] * s + b[p] + 0x9E3779B97F4A7C15ULL;
+                z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+                z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+                z ^= z >> 31;
+                if (z < acc[p])
+                    acc[p] = z;
+            }
+        }
+    }
+    return n_docs;
+}

@@ -175,10 +175,15 @@ def reduceat_fixed(values: np.ndarray, offsets: np.ndarray, op=np.add) -> np.nda
     starts = offsets[:-1]
     sizes = np.diff(offsets)
     n_seg = starts.shape[0]
-    if values.shape[0] == 0:
-        shape = (n_seg,) + values.shape[1:]
-        return np.zeros(shape, dtype=values.dtype)
-    safe = np.minimum(starts, values.shape[0] - 1)
-    out = op.reduceat(values, safe, axis=0)
-    out[sizes == 0] = 0
+    shape = (n_seg,) + values.shape[1:]
+    out = np.zeros(shape, dtype=values.dtype)
+    if values.shape[0] == 0 or n_seg == 0:
+        return out
+    # reduceat over the NON-EMPTY segments' starts only (strictly
+    # increasing, so each reduces exactly its own run). Clamping empty
+    # trailing starts to len-1 instead would steal the final row from the
+    # last non-empty segment's reduction.
+    nz = sizes > 0
+    if nz.any():
+        out[nz] = op.reduceat(values, starts[nz], axis=0)
     return out

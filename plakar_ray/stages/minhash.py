@@ -37,6 +37,44 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
     return z ^ (z >> _U64(31))
 
 
+def _perm_minima(
+    shingles: np.ndarray, counts: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, P) per-document minima of splitmix64(a*s + b) over
+    doc-ordered contiguous shingle runs (doc d owns `counts[d]` shingles).
+    Rows of shingle-less docs are all-0xFF sentinels.
+
+    Dispatches to the native kernel (cdc.c:minhash_minima, bit-identical
+    mod-2^64) when available; the numpy fallback processes permutations in
+    blocks so the (P_block, total) working matrix stays ~100 MB."""
+    from plakar_ray import _native
+
+    n = counts.shape[0]
+    num_perm = a.shape[0]
+    total = int(shingles.shape[0])
+    if total == 0 or n == 0:
+        return np.full((n, num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    lib = _native.load()
+    if lib is not None:
+        offsets = np.empty(n + 1, dtype=np.int64)
+        offsets[0] = 0
+        np.cumsum(counts, out=offsets[1:])
+        return _native.minhash_minima(lib, shingles, offsets, a, b)
+    # reduceat over NON-EMPTY docs' starts only (strictly increasing):
+    # clamping a trailing empty doc's start to total-1 would steal the
+    # final shingle from the last non-empty doc's min.
+    nz = counts > 0
+    goff_nz = (np.cumsum(counts) - counts)[nz]
+    sigs = np.full((n, num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    p_block = max(1, (100 << 20) // (8 * total))
+    for p0 in range(0, num_perm, p_block):
+        av = a[p0 : p0 + p_block, None]
+        bv = b[p0 : p0 + p_block, None]
+        vals = _splitmix64(av * shingles[None, :] + bv)
+        sigs[nz, p0 : p0 + p_block] = np.minimum.reduceat(vals, goff_nz, axis=1).T
+    return sigs
+
+
 class MinHashStage:
     """documents batch -> signatures batch (fused chunk+digest+minhash: no
     intermediate chunk table leaves the actor).
@@ -196,19 +234,8 @@ class MinHashStage:
         g_doc = all_doc[gi]
         gcnt = np.bincount(g_doc, minlength=n).astype(np.int64)
         n_shingles = gcnt.astype(np.int32)
-        # per-doc signature minima: grams are doc-ordered and contiguous.
-        # Permutations are processed in blocks so the (P_block, G) working
-        # matrix stays ~100 MB regardless of batch density.
-        goff = np.cumsum(gcnt) - gcnt
-        safe = np.minimum(goff, grams.shape[0] - 1)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        p_block = max(1, (100 << 20) // (8 * max(grams.shape[0], 1)))
-        for p0 in range(0, self.num_perm, p_block):
-            a = self.a[p0 : p0 + p_block, None]
-            b = self.b[p0 : p0 + p_block, None]
-            vals = _splitmix64(a * grams[None, :] + b)
-            sigs[:, p0 : p0 + p_block] = np.minimum.reduceat(vals, safe, axis=1).T
-        sigs[gcnt == 0] = _U64(0xFFFFFFFFFFFFFFFF)
+        # per-doc signature minima: grams are doc-ordered and contiguous
+        sigs = _perm_minima(grams, gcnt, self.a, self.b)
         return sigs, n_shingles
 
     def _cdc_batch(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -240,15 +267,7 @@ class MinHashStage:
         lengths = np.concatenate(per_doc) if n > 1 else per_doc[0]
         # chunk lengths tile the rows' value-buffer region exactly
         shingles = self._segment_hash(lengths, data[offsets[0] : offsets[-1]])
-        goff = np.cumsum(counts) - counts
-        safe = np.minimum(goff, total - 1)
-        p_block = max(1, (100 << 20) // (8 * total))
-        for p0 in range(0, self.num_perm, p_block):
-            a = self.a[p0 : p0 + p_block, None]
-            b = self.b[p0 : p0 + p_block, None]
-            vals = _splitmix64(a * shingles[None, :] + b)
-            sigs[:, p0 : p0 + p_block] = np.minimum.reduceat(vals, safe, axis=1).T
-        sigs[counts == 0] = _U64(0xFFFFFFFFFFFFFFFF)
+        sigs = _perm_minima(shingles, counts, self.a, self.b)
         return sigs, n_shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:

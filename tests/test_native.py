@@ -131,3 +131,52 @@ def test_segment_hashes_native_vs_numpy_vs_scalar():
     buf = np.frombuffer(b"ab" + b"ab\0", dtype=np.uint8)
     out = wfnv64_segments(two, buf)
     assert out[0] != out[1]
+
+
+def test_minhash_minima_native_matches_numpy(monkeypatch):
+    """Native perm-minima == numpy reduceat fallback == per-doc scalar
+    signature(), including empty docs at the edges and in the middle."""
+    from plakar_ray.stages.minhash import MinHashStage, _perm_minima
+
+    rng = np.random.default_rng(29)
+    counts = np.array([0, 1, 17, 0, 4096, 3, 0], dtype=np.int64)
+    shingles = rng.integers(0, 1 << 63, int(counts.sum()), dtype=np.uint64) * 2 + 1
+    st = MinHashStage(num_perm=128, seed=1337)
+
+    lib = _native._compile_and_bind()
+    assert lib is not None
+    got = _perm_minima(shingles, counts, st.a, st.b)  # native (lib loaded)
+
+    monkeypatch.setattr(_native, "_lib", None)
+    monkeypatch.setattr(_native, "_tried", True)
+    want = _perm_minima(shingles, counts, st.a, st.b)  # numpy fallback
+    assert got.dtype == want.dtype and got.shape == want.shape
+    assert (got == want).all()
+
+    # scalar spec: per-doc signature() on each run; empty docs all-0xFF
+    off = np.cumsum(counts) - counts
+    for d in range(counts.shape[0]):
+        run = shingles[off[d] : off[d] + counts[d]]
+        if counts[d] == 0:
+            assert (got[d] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+        else:
+            assert got[d].tolist() == st.signature(run).tolist()
+
+
+def test_reduceat_fixed_trailing_empty_segments():
+    """Trailing empty segments must not truncate the last non-empty
+    segment's reduction (regression: the old len-1 clamp stole its final
+    row), and interior empties yield the identity."""
+    from plakar_ray.functions.strhash import reduceat_fixed
+
+    v = np.arange(1, 7, dtype=np.int64)  # [1..6]
+    off = np.array([0, 2, 2, 6, 6, 6], dtype=np.int64)
+    got = reduceat_fixed(v, off)
+    assert got.tolist() == [3, 0, 18, 0, 0]  # 18 includes the final row (6)
+
+    m = np.arange(12, dtype=np.int64).reshape(6, 2)
+    got2 = reduceat_fixed(m, off)
+    assert got2.tolist() == [[2, 4], [0, 0], [28, 32], [0, 0], [0, 0]]
+
+    assert reduceat_fixed(np.empty((0, 2), np.int64),
+                          np.array([0, 0, 0], np.int64)).tolist() == [[0, 0], [0, 0]]
