@@ -242,8 +242,9 @@ class MinHashStage:
         """Fully batched CDC path: ONE boundary pass (batched frontier
         kernels), one C-speed segment-hash pass over every chunk in the batch
         (chunks tile the doc byte stream contiguously), then per-doc
-        signature minima via permutation-blocked reduceat — no per-doc
-        Python loop, no per-doc np.unique, no per-doc signature() calls.
+        signature minima via _perm_minima (native kernel / blocked reduceat)
+        — no per-doc Python loop, no per-doc np.unique, no per-doc
+        signature() calls.
         Signature-identical to the scalar path (same chunk_hash shingle
         family; duplicate shingles never change a min)."""
         n = len(batch)
@@ -260,15 +261,13 @@ class MinHashStage:
             (p.shape[0] for p in per_doc), dtype=np.int64, count=n
         )
         n_shingles = counts.astype(np.int32)
-        sigs = np.full((n, self.num_perm), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
         total = int(counts.sum())
         if total == 0:
-            return sigs, n_shingles
+            return _perm_minima(np.empty(0, np.uint64), counts, self.a, self.b), n_shingles
         lengths = np.concatenate(per_doc) if n > 1 else per_doc[0]
         # chunk lengths tile the rows' value-buffer region exactly
         shingles = self._segment_hash(lengths, data[offsets[0] : offsets[-1]])
-        sigs = _perm_minima(shingles, counts, self.a, self.b)
-        return sigs, n_shingles
+        return _perm_minima(shingles, counts, self.a, self.b), n_shingles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.shingle == "word3":
