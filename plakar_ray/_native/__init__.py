@@ -48,22 +48,31 @@ _SIGNATURES = {
     "minhash_minima": [_p_u64, _p_i64, _i64, _p_u64, _p_u64, _i64, _p_u64],
 }
 
+_SHA_SRC = os.path.join(_DIR, "sha.c")
+
+_SHA_SIGNATURES = {
+    "sha256_segments_full": [_p_u8, _p_i64, _i64, _p_u8],
+}
+
 _lib = None
 _tried = False
+_sha_lib = None
+_sha_tried = False
 
 
-def _compile_and_bind() -> ctypes.CDLL | None:
-    with open(_SRC, "rb") as f:
+def _build(src_path: str, stem: str, signatures: dict,
+           extra: list[str]) -> ctypes.CDLL | None:
+    with open(src_path, "rb") as f:
         src = f.read()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    name = f"libplakarcdc_{tag}.so"
+    name = f"lib{stem}_{tag}.so"
     for base in (_DIR, os.path.join(tempfile.gettempdir(), "plakar_native")):
         so = os.path.join(base, name)
         try:
             if not os.path.exists(so):
                 os.makedirs(base, exist_ok=True)
                 tmp = f"{so}.tmp{os.getpid()}"
-                cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+                cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src_path] + extra
                 r = subprocess.run(cmd + ["-march=native"], capture_output=True)
                 if r.returncode != 0:
                     r = subprocess.run(cmd, capture_output=True)
@@ -71,7 +80,7 @@ def _compile_and_bind() -> ctypes.CDLL | None:
                         continue
                 os.replace(tmp, so)
             lib = ctypes.CDLL(so)
-            for fname, argtypes in _SIGNATURES.items():
+            for fname, argtypes in signatures.items():
                 fn = getattr(lib, fname)
                 fn.argtypes = argtypes
                 fn.restype = _i64
@@ -79,6 +88,14 @@ def _compile_and_bind() -> ctypes.CDLL | None:
         except (OSError, AttributeError):
             continue
     return None
+
+
+def _compile_and_bind() -> ctypes.CDLL | None:
+    return _build(_SRC, "plakarcdc", _SIGNATURES, [])
+
+
+def _compile_and_bind_sha() -> ctypes.CDLL | None:
+    return _build(_SHA_SRC, "plakarsha", _SHA_SIGNATURES, ["-lcrypto"])
 
 
 def load() -> ctypes.CDLL | None:
@@ -95,6 +112,39 @@ def load() -> ctypes.CDLL | None:
     except Exception:
         _lib = None
     return _lib
+
+
+def load_sha() -> ctypes.CDLL | None:
+    """The sha256 accelerator library, or None. Independent of load():
+    it links -lcrypto, so its absence must not cost the boundary/shingle
+    kernels."""
+    global _sha_lib, _sha_tried
+    if _sha_tried:
+        return _sha_lib
+    _sha_tried = True
+    if os.environ.get("PLAKAR_NATIVE", "1") == "0":
+        return None
+    try:
+        _sha_lib = _compile_and_bind_sha()
+    except Exception:
+        _sha_lib = None
+    return _sha_lib
+
+
+def sha256_segments_full(lib, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """(n, 32) uint8 sha256 digests of the contiguous segments tiling
+    `data` (sum(lengths) == data.size)."""
+    n = lengths.shape[0]
+    out = np.empty((n, 32), dtype=np.uint8)
+    if n == 0:
+        return out
+    keep, p = _doc_ptr(data)
+    lens = np.ascontiguousarray(lengths.astype(np.int64, copy=False))
+    m = lib.sha256_segments_full(p, lens.ctypes.data_as(_p_i64), n,
+                                 out.ctypes.data_as(_p_u8))
+    if m != n:
+        raise RuntimeError("sha256_segments_full failed")
+    return out
 
 
 def _as_c(data: np.ndarray, ctype):

@@ -137,6 +137,12 @@ def sha256_segments(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
+    from plakar_ray import _native
+
+    sha_lib = _native.load_sha()
+    if sha_lib is not None:
+        d32 = _native.sha256_segments_full(sha_lib, lengths, data)
+        return np.ascontiguousarray(d32[:, :8]).view(np.uint64).ravel()
     import hashlib
 
     ends = np.cumsum(lengths.astype(np.int64, copy=False))

@@ -77,13 +77,6 @@ class ChunkerStage:
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
 
-        out_ids: list[int] = []  # row index per chunk, expanded via take
-        idxs: list[np.ndarray] = []
-        offs: list[np.ndarray] = []
-        lens: list[np.ndarray] = []
-        digests = [] if self.with_digest else None
-        d64 = [] if self.with_digest else None
-
         n = len(batch)
         multi = self.spec.boundaries_multi
         if multi is not None and n > 1:
@@ -92,50 +85,74 @@ class ChunkerStage:
             # to the per-doc path.
             per_doc = multi(self.cfg, self.opts, data, offsets)
         else:
-            per_doc = None
-        for i in range(n):
-            doc = data[offsets[i] : offsets[i + 1]]
-            lengths = per_doc[i] if per_doc is not None else self.chunk_doc(doc)
-            k = lengths.shape[0]
-            if k == 0:
-                continue
-            ends = np.cumsum(lengths)
-            starts = ends - lengths
-            out_ids.extend([i] * k)
-            idxs.append(np.arange(k, dtype=np.int32))
-            offs.append(starts)
-            lens.append(lengths.astype(np.int32))
-            if self.with_digest:
-                mv = memoryview(doc)
-                for a, b in zip(starts.tolist(), ends.tolist()):
-                    dg = hashlib.sha256(mv[a:b]).digest()
-                    digests.append(dg)
-                    d64.append(int.from_bytes(dg[:8], "little"))
-
-        if not out_ids:
+            per_doc = [
+                self.chunk_doc(data[offsets[i] : offsets[i + 1]])
+                for i in range(n)
+            ]
+        counts = np.fromiter((p.shape[0] for p in per_doc), dtype=np.int64, count=n)
+        total = int(counts.sum())
+        if total == 0:
             cols = {self.id_col: ids.take(pa.array([], type=pa.int64()))}
-            empty = {
-                "chunk_idx": pa.array([], type=pa.int32()),
-                "offset": pa.array([], type=pa.int64()),
-                "length": pa.array([], type=pa.int32()),
-            }
-            cols.update(empty)
+            cols.update(
+                {
+                    "chunk_idx": pa.array([], type=pa.int32()),
+                    "offset": pa.array([], type=pa.int64()),
+                    "length": pa.array([], type=pa.int32()),
+                }
+            )
             if self.with_digest:
                 cols["digest"] = pa.array([], type=pa.binary(32))
                 cols["digest64"] = pa.array([], type=pa.uint64())
             return pa.table(cols)
 
-        take_idx = pa.array(out_ids, type=pa.int64())
+        # Chunks tile each document's bytes exactly, and documents are
+        # contiguous in the batch stream — so the global cumsum of chunk
+        # lengths IS each chunk's position in data[offsets[0]:offsets[-1]],
+        # and within-doc offsets fall out by subtracting the owning doc's
+        # stream base. No per-doc (let alone per-chunk) Python.
+        all_len = np.concatenate(per_doc) if n > 1 else per_doc[0]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        goff = np.cumsum(counts) - counts
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(goff, counts)
+        ends_g = np.cumsum(all_len)
+        starts_g = ends_g - all_len
+        within = starts_g - (offsets[doc_of] - offsets[0])
+
         cols = {
-            self.id_col: ids.take(take_idx),
-            "chunk_idx": pa.array(np.concatenate(idxs), type=pa.int32()),
-            "offset": pa.array(np.concatenate(offs), type=pa.int64()),
-            "length": pa.array(np.concatenate(lens), type=pa.int32()),
+            self.id_col: ids.take(pa.array(doc_of, type=pa.int64())),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int32), type=pa.int32()),
+            "offset": pa.array(within, type=pa.int64()),
+            "length": pa.array(all_len.astype(np.int32), type=pa.int32()),
         }
         if self.with_digest:
-            cols["digest"] = pa.array(digests, type=pa.binary(32))
-            cols["digest64"] = pa.array(np.array(d64, dtype=np.uint64), type=pa.uint64())
+            stream = data[offsets[0] : offsets[-1]]
+            d32 = self._digest_segments(all_len, stream)
+            cols["digest"] = pa.Array.from_buffers(
+                pa.binary(32), total, [None, pa.py_buffer(d32)]
+            )
+            cols["digest64"] = pa.array(
+                np.ascontiguousarray(d32[:, :8]).view(np.uint64).ravel(),
+                type=pa.uint64(),
+            )
         return pa.table(cols)
+
+    @staticmethod
+    def _digest_segments(lengths: np.ndarray, stream: np.ndarray) -> np.ndarray:
+        """(k, 32) sha256 digests of the chunk segments tiling `stream` —
+        native OpenSSL kernel (sha.c) when available, hashlib loop
+        otherwise (identical bytes)."""
+        from plakar_ray import _native
+
+        sha_lib = _native.load_sha()
+        if sha_lib is not None:
+            return _native.sha256_segments_full(sha_lib, lengths, stream)
+        out = np.empty((lengths.shape[0], 32), dtype=np.uint8)
+        mv = memoryview(stream)
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        for j, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
+            out[j] = np.frombuffer(hashlib.sha256(mv[a:b]).digest(), dtype=np.uint8)
+        return out
 
 
 from functools import lru_cache
