@@ -27,18 +27,22 @@ PROFILE_SWEEP = [
 def generate_profile(algo: str, data: bytes, opts: ChunkerOpts | None = None) -> pa.Table:
     """Full (chunk_idx, offset, length, digest) run over one byte stream,
     plus the global content digest in the table metadata."""
+    from plakar_ray.stages.chunk import ChunkerStage
+
     lengths = chunk_lengths(algo, data, opts)
     ends = np.cumsum(lengths)
     starts = ends - lengths
-    digests = [
-        hashlib.sha256(data[a:b]).digest() for a, b in zip(starts.tolist(), ends.tolist())
-    ]
+    d32 = ChunkerStage._digest_segments(
+        lengths, np.frombuffer(data, dtype=np.uint8)
+    )
     t = pa.table(
         {
             "chunk_idx": pa.array(np.arange(len(lengths), dtype=np.int32)),
             "offset": pa.array(starts, type=pa.int64()),
             "length": pa.array(lengths.astype(np.int32), type=pa.int32()),
-            "digest": pa.array(digests, type=pa.binary(32)),
+            "digest": pa.Array.from_buffers(
+                pa.binary(32), len(lengths), [None, pa.py_buffer(d32)]
+            ),
         }
     )
     meta = {

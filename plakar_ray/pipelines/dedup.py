@@ -550,18 +550,34 @@ class ResyncStage:
         self._hash = hashlib.md5 if digest == "md5" else hashlib.sha256
         self.edit_mode = edit_mode
 
-    def _digest_set(self, doc: np.ndarray) -> tuple[dict, int]:
+    def _digest_set(
+        self, doc: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(unique digest keys as a void array, their chunk lengths, total
+        chunk bytes). sha256 rides the native segment kernel; md5 (the SQL
+        twin family) keeps hashlib but packs straight into one buffer —
+        either way set intersection happens in numpy, not a Python dict."""
         lengths = self.chunker.chunk_doc(doc)
-        out: dict[bytes, int] = {}
-        total = 0
-        if lengths.shape[0]:
+        k = lengths.shape[0]
+        width = 32 if self._hash is hashlib.sha256 else 16
+        if k == 0:
+            empty = np.empty(0, dtype=np.dtype((np.void, width)))
+            return empty, np.empty(0, dtype=np.int64), 0
+        if self._hash is hashlib.sha256:
+            from plakar_ray.stages.chunk import ChunkerStage
+
+            dig = ChunkerStage._digest_segments(lengths, doc)  # (k, 32)
+        else:
+            dig = np.empty((k, 16), dtype=np.uint8)
             ends = np.cumsum(lengths)
             starts = ends - lengths
             mv = memoryview(doc)
-            for a, b in zip(starts.tolist(), ends.tolist()):
-                out[self._hash(mv[a:b]).digest()] = b - a
-                total += b - a
-        return out, total
+            md5 = self._hash
+            for j, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
+                dig[j] = np.frombuffer(md5(mv[a:b]).digest(), dtype=np.uint8)
+        keys = dig.view(np.dtype((np.void, dig.shape[1]))).ravel()
+        uk, idx = np.unique(keys, return_index=True)
+        return uk, lengths[idx].astype(np.int64), int(lengths.sum())
 
     def _edited(self, doc: bytes) -> bytes:
         if self.edit_mode == "spread":
@@ -578,19 +594,18 @@ class ResyncStage:
         n_edit = np.zeros(n, dtype=np.int32)
         for i in range(n):
             doc = data[offsets[i] : offsets[i + 1]]
-            orig_set, _ = self._digest_set(doc)
+            orig_keys, _, _ = self._digest_set(doc)
             edited = self._edited(doc.tobytes())
-            edited_set, edited_bytes = self._digest_set(
+            edit_keys, edit_lens, edited_bytes = self._digest_set(
                 np.frombuffer(edited, dtype=np.uint8)
             )
-            shared_bytes = sum(
-                ln for d, ln in edited_set.items() if d in orig_set
-            )
+            shared_mask = np.isin(edit_keys, orig_keys, assume_unique=True)
+            shared_bytes = int(edit_lens[shared_mask].sum())
             shared[i] = shared_bytes / edited_bytes if edited_bytes else 0.0
             shared_b[i] = shared_bytes
             edited_b[i] = edited_bytes
-            n_orig[i] = len(orig_set)
-            n_edit[i] = len(edited_set)
+            n_orig[i] = orig_keys.shape[0]
+            n_edit[i] = edit_keys.shape[0]
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
