@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -366,9 +367,17 @@ def main():
                 BENCH_DOC_BYTES=os.environ.get("BENCH_SCALING_DOC_BYTES", "65536"),
                 BENCH_DUP_FRAC=os.environ.get("BENCH_SCALING_DUP_FRAC", "0.125"),
             )
+            # Pin the whole child (Ray workers, exchange aggregators,
+            # driver inherit the mask) to exactly n host CPUs: without
+            # this, the low level's aggregator/driver/raylet work
+            # free-rides on the idle host cores — a local-mode artifact a
+            # real n-node cluster doesn't have — inflating the
+            # denominator of the efficiency ratio.
+            cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child"]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child"],
-                capture_output=True, text=True, env=env, timeout=3600,
+                cmd, capture_output=True, text=True, env=env, timeout=3600,
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("CHILD_JSON ")]
             if not line:

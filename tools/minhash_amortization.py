@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -69,8 +70,15 @@ def child(num_cpus: int, docs: int) -> None:
 
 
 def run_child(num_cpus: int, docs: int) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           str(num_cpus), str(docs)]
+    if shutil.which("taskset"):
+        # Pin the child (Ray inherits) to exactly num_cpus host CPUs so
+        # the low level's aggregators/driver can't free-ride on idle host
+        # cores — the local-mode artifact that deflates 4->16 ratios.
+        cmd = ["taskset", "-c", f"0-{num_cpus - 1}"] + cmd
     p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(num_cpus), str(docs)],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3600,
@@ -87,9 +95,24 @@ def main() -> None:
         return
     big_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 393216
     out: dict = {"doc_bytes": DOC_BYTES, "tiny_docs": TINY_DOCS, "big_docs": big_docs}
+
+    def clean_child(level: int, docs: int, attempts: int = 3) -> dict:
+        """Retry a leg whose window lost >10% of cycles to the hypervisor
+        (measuring the neighbor, not the engine); keep the last attempt if
+        none comes back clean, flagged via its recorded steal_pct."""
+        r = run_child(level, docs)
+        for _ in range(attempts - 1):
+            if r["steal_pct"] <= 10.0:
+                break
+            print(f"  steal {r['steal_pct']}% > 10% at {level} cpus, retrying...",
+                  flush=True)
+            time.sleep(120)
+            r = run_child(level, docs)
+        return r
+
     for level in (4, 16):
-        tiny = run_child(level, TINY_DOCS)
-        big = run_child(level, big_docs)
+        tiny = clean_child(level, TINY_DOCS)
+        big = clean_child(level, big_docs)
         out[f"tail_s_{level}cpu"] = tiny["wall_s"]
         out[f"big_wall_s_{level}cpu"] = big["wall_s"]
         out[f"big_mbps_{level}cpu"] = big["mb_per_s"]
