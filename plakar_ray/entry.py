@@ -102,6 +102,45 @@ def q_compare_algos(sf_dir: str) -> pa.Table:
     return table
 
 
+COMPARE_FIXED_SIZES = (256, 512)
+
+
+def q_compare_fixed(sf_dir: str) -> pa.Table:
+    """SQL-oracle twin of the compare CI gate (pipelines/analyze.py:compare,
+    cmd/cdc/compare.go:24-59): the fixed chunker at two sizes is
+    DuckDB-expressible, so the driver value-checks the full two-measure
+    table AND the regression verdict. The regression column uses the e6
+    fixed-point rule (ratio_b_e6 * 100 > ratio_a_e6 * 102) — exact integer
+    math in both engines; it equals the pipeline's float gate except within
+    1e-6 of the 2% boundary (unit-tested)."""
+    from plakar_ray.pipelines.analyze import compare
+
+    sa, sb = COMPARE_FIXED_SIZES
+    table, _ = compare(
+        lambda: _docs(sf_dir, ["doc_id", "text"]),
+        "fixed-v1.0.0",
+        "fixed-v1.0.0",
+        ChunkerOpts(normal_size=sa),
+        opts_b=ChunkerOpts(normal_size=sb),
+    )
+    e6 = [
+        int(np.floor(r * 1e6 + 0.5))
+        for r in table.column("dedup_ratio").to_pylist()
+    ]
+    reg = 1 if e6[1] * 100 > e6[0] * 102 else 0
+    return pa.table(
+        {
+            "chunk_size": pa.array([sa, sb], type=pa.int64()),
+            "total_bytes": table.column("total_bytes").cast(pa.int64()),
+            "chunks": table.column("chunks").cast(pa.int64()),
+            "unique_chunks": table.column("unique_chunks").cast(pa.int64()),
+            "unique_bytes": table.column("unique_bytes").cast(pa.int64()),
+            "dedup_ratio_e6": pa.array(e6, type=pa.int64()),
+            "regression": pa.array([reg, reg], type=pa.int64()),
+        }
+    )
+
+
 def q_resync_fastcdc(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.dedup import resync
 
@@ -851,6 +890,7 @@ def queries():
         "chunk_fixed_stats": q_chunk_fixed_stats,
         "analyze_fastcdc": q_analyze_fastcdc,
         "compare_algos": q_compare_algos,
+        "compare_fixed": q_compare_fixed,
         "resync_fastcdc": q_resync_fastcdc,
         "resync_fixed": q_resync_fixed,
         "exact_dedup_stats": q_exact_dedup_stats,
@@ -1453,6 +1493,39 @@ def oracle_sql():
                    floor((SELECT sum(len) FROM e)::DOUBLE / (SELECT count(*) FROM e))::BIGINT AS mean_len)
             """
             for size in DEDUP_SWEEP_FIXED_SIZES
+        ),
+        "compare_fixed": (
+            "WITH m AS (\n"
+            + "\nUNION ALL\n".join(
+                f"""
+                (WITH e AS (
+                  SELECT md5(substr(d.text, (g.i * {size})::BIGINT + 1, {size}::BIGINT)) AS h,
+                         least({size}, octet_length(d.text::BLOB) - g.i * {size})::BIGINT AS len
+                  FROM documents d
+                  CROSS JOIN LATERAL (
+                    SELECT unnest(range(CAST(ceil(octet_length(d.text::BLOB) / {size}.0) AS BIGINT))) AS i
+                  ) g
+                  WHERE octet_length(d.text::BLOB) > 0
+                ), u AS (
+                  SELECT h, min(len) AS len FROM e GROUP BY h
+                )
+                SELECT {size}::BIGINT AS chunk_size,
+                       (SELECT sum(len) FROM e)::BIGINT AS total_bytes,
+                       (SELECT count(*) FROM e)::BIGINT AS chunks,
+                       (SELECT count(*) FROM u)::BIGINT AS unique_chunks,
+                       (SELECT sum(len) FROM u)::BIGINT AS unique_bytes,
+                       floor(((SELECT sum(len) FROM u) / (SELECT sum(len) FROM e)::DOUBLE) * 1000000.0 + 0.5)::BIGINT AS dedup_ratio_e6)
+                """
+                for size in COMPARE_FIXED_SIZES
+            )
+            + f"""
+            )
+            SELECT m.*,
+                   (CASE WHEN (SELECT dedup_ratio_e6 FROM m WHERE chunk_size = {COMPARE_FIXED_SIZES[1]}) * 100
+                              > (SELECT dedup_ratio_e6 FROM m WHERE chunk_size = {COMPARE_FIXED_SIZES[0]}) * 102
+                         THEN 1 ELSE 0 END)::BIGINT AS regression
+            FROM m ORDER BY chunk_size
+            """
         ),
     }
     # Salting (sub-bucket split + hub reconnect) must not change cluster

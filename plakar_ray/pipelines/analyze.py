@@ -216,13 +216,17 @@ def compare(
     tolerance: float = 0.02,
     id_col: str = "doc_id",
     text_col: str = "text",
+    opts_b: ChunkerOpts | None = None,
 ) -> tuple[pa.Table, bool]:
     """Run measure for two algorithms; regression iff
     ratio_b > ratio_a * (1 + tolerance) (cmd/cdc/compare.go:24-59).
     ds_factory() must return a fresh Dataset per run (Datasets are consumed).
+    opts_b (default: opts) lets the same algorithm be compared against
+    itself at different options — the SQL-oracle twin compares the fixed
+    chunker at two sizes through this exact code path.
     """
     a = measure(ds_factory(), algo_a, opts, id_col, text_col)
-    b = measure(ds_factory(), algo_b, opts, id_col, text_col)
+    b = measure(ds_factory(), algo_b, opts if opts_b is None else opts_b, id_col, text_col)
     table = pa.table({k: [a[k], b[k]] for k in a})
     regression = b["dedup_ratio"] > a["dedup_ratio"] * (1 + tolerance)
     return table, regression

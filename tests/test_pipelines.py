@@ -70,6 +70,36 @@ def test_analyze_dedup_ratio_on_duplicated_corpus(ray_session):
     assert m["unique_chunks"] * 2 == m["chunks"]
 
 
+def test_compare_fixed_twin_gate_agrees(ray_session):
+    """q_compare_fixed's e6 integer regression rule must equal compare()'s
+    float gate (they can only diverge within ~1e-6 of the 2% boundary,
+    which real corpora don't sit on)."""
+    from plakar_ray.entry import COMPARE_FIXED_SIZES, q_compare_fixed
+    from plakar_ray.opts import ChunkerOpts
+    from plakar_ray.pipelines.analyze import compare
+
+    sf = "/root/testdata/sf0.001"
+    out = q_compare_fixed(sf)
+    assert out.column("chunk_size").to_pylist() == list(COMPARE_FIXED_SIZES)
+    # ratios are sane and fixed-pointed
+    e6 = out.column("dedup_ratio_e6").to_pylist()
+    assert all(0 < r <= 10**6 for r in e6)
+    sa, sb = COMPARE_FIXED_SIZES
+    import ray
+
+    _, float_gate = compare(
+        lambda: ray.data.read_parquet(
+            sf + "/documents.parquet", columns=["doc_id", "text"]
+        ),
+        "fixed-v1.0.0",
+        "fixed-v1.0.0",
+        ChunkerOpts(normal_size=sa),
+        opts_b=ChunkerOpts(normal_size=sb),
+    )
+    int_gate = e6[1] * 100 > e6[0] * 102
+    assert int_gate == float_gate
+
+
 def test_measure_matches_local_oracle(ray_session, fixture_pages):
     """Distributed measure == single-process oracle over the same corpus."""
     import hashlib
