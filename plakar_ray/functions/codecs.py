@@ -9,15 +9,17 @@ numpy decodes directly:
   top-down rows.
 * WAV: RIFF/WAVE with PCM (format 1) 8/16/32-bit or IEEE-float (format 3)
   samples.
-* PNG: 8-bit gray/RGB/palette/alpha, non-interlaced — the DEFLATE payload
-  is stdlib zlib and the five scanline filters are small integer
-  recurrences (see decode_png), so no imaging library is needed.
+* PNG: 8- and 16-bit gray/RGB/palette/alpha, non-interlaced or
+  Adam7-interlaced — the DEFLATE payload is stdlib zlib and the five
+  scanline filters are small byte-wise integer recurrences with a
+  bytes-per-pixel left lag (see _png_unfilter), so no imaging library is
+  needed; 16-bit samples are returned exactly as uint16.
 
 These make the media stages' strict path REAL for uncompressed inputs and
-8-bit PNG; the remaining compressed formats (JPEG/MP3/16-bit or Adam7
-PNG/...) stay gated behind optional libraries (PIL is probed at stage
-init) because decoding them without one is out of scope. Encoders exist
-so tests can round-trip deterministic fixtures.
+PNG; the remaining compressed formats (JPEG/MP3/...) stay gated behind
+optional libraries (PIL is probed at stage init) because decoding them
+without one is out of scope. Encoders exist so tests can round-trip
+deterministic fixtures (including 16-bit and interlaced PNGs).
 
 All decoders take a 1-D uint8 numpy view (zero-copy from an Arrow binary
 column) and raise ValueError on malformed input.
@@ -246,13 +248,64 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+# Adam7 interlace grid: (x0, y0, dx, dy) per pass, spec order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(dec: np.ndarray, h: int, stride: int, bpp: int, pos: int):
+    """Reconstruct `h` scanlines of `stride` bytes from the filtered stream
+    `dec` starting at byte `pos` -> (rows[h, stride] uint8, next_pos).
+
+    Filters operate on BYTES with the left-neighbor lag equal to the bytes
+    per complete pixel (`bpp` — 2x the channel count at depth 16), per the
+    PNG spec. Up and Sub are vectorized (row add / per-byte-lane prefix sum
+    mod 256); Average/Paeth fall back to a per-byte loop only on the rows
+    that actually use them."""
+    out = np.empty((h, stride), np.uint16)  # uint16 scratch, mod-256 at use
+    prior = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f = int(dec[pos])
+        rl = dec[pos + 1 : pos + 1 + stride].astype(np.uint16)
+        pos += 1 + stride
+        if f == 0:  # None
+            cur = rl
+        elif f == 2:  # Up
+            cur = (rl + prior) & 0xFF
+        elif f == 1:  # Sub: per-byte-lane prefix sum mod 256
+            cur = rl.copy()
+            for k in range(bpp):
+                lane = cur[k::bpp]
+                np.cumsum(lane, out=lane)
+                lane &= 0xFF
+        else:  # Average (3) / Paeth (4): sequential recurrence
+            cur = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                if f == 3:
+                    cur[x] = (int(rl[x]) + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    cc = int(prior[x - bpp]) if x >= bpp else 0
+                    p = a + b - cc
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (int(rl[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prior = cur
+    return out.astype(np.uint8), pos
 
 
 def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
-    """PNG -> (width, height, channels, pixels[h, w, c] uint8).
+    """PNG -> (width, height, channels, pixels[h, w, c]).
 
-    Supports bit depth 8, color types 0/2/3/4/6 (palette expanded to RGB),
-    non-interlaced. Raises ValueError on anything else (16-bit, Adam7)."""
+    Supports bit depths 8 and 16 (16-bit pixels returned as uint16, exact),
+    color types 0/2/3/4/6 (palette expanded to RGB), non-interlaced and
+    Adam7-interlaced. Raises ValueError on anything else (sub-byte depths)."""
     import zlib
 
     raw = bytes(buf)
@@ -275,52 +328,48 @@ def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color}")
+    if color == 3 and depth != 8:
+        raise ValueError("palette PNG must be 8-bit here")
     ch = _PNG_CHANNELS[color]
-    stride = w * ch
+    bpp = ch * (depth // 8)
     dec = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if dec.shape[0] != h * (stride + 1):
-        raise ValueError("PNG payload size mismatch")
-    rows = dec.reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    out = np.empty((h, stride), np.uint16)  # uint16 scratch, mod-256 at use
-    prior = np.zeros(stride, np.uint16)
-    for y in range(h):
-        rl = rows[y, 1:].astype(np.uint16)
-        f = ftypes[y]
-        if f == 0:  # None
-            cur = rl
-        elif f == 2:  # Up
-            cur = (rl + prior) & 0xFF
-        elif f == 1:  # Sub: per-byte-lane prefix sum mod 256
-            cur = rl.copy()
-            for k in range(ch):
-                lane = cur[k::ch]
-                np.cumsum(lane, out=lane)
-                lane &= 0xFF
-        else:  # Average (3) / Paeth (4): sequential recurrence
-            cur = np.zeros(stride, np.uint16)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prior[x])
-                if f == 3:
-                    cur[x] = (int(rl[x]) + ((a + b) >> 1)) & 0xFF
-                elif f == 4:
-                    cc = int(prior[x - ch]) if x >= ch else 0
-                    p = a + b - cc
-                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else cc)
-                    cur[x] = (int(rl[x]) + pred) & 0xFF
-                else:
-                    raise ValueError(f"bad PNG filter type {f}")
-        out[y] = cur
-        prior = cur
-    px = out.astype(np.uint8).reshape(h, w, ch)
+    if interlace == 0:
+        stride = w * bpp
+        if dec.shape[0] != h * (stride + 1):
+            raise ValueError("PNG payload size mismatch")
+        flat, _ = _png_unfilter(dec, h, stride, bpp, 0)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered onto
+        # the (y0::dy, x0::dx) grid; empty passes contribute no scanlines.
+        passes = []
+        expect = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            passes.append((x0, y0, dx, dy, wp, hp))
+            if wp > 0 and hp > 0:
+                expect += hp * (wp * bpp + 1)
+        if dec.shape[0] != expect:
+            raise ValueError("PNG payload size mismatch")
+        flat = np.zeros((h, w * bpp), np.uint8)
+        grid = flat.reshape(h, w, bpp)
+        p = 0
+        for x0, y0, dx, dy, wp, hp in passes:
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, p = _png_unfilter(dec, hp, wp * bpp, bpp, p)
+            grid[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+    if depth == 8:
+        px = flat.reshape(h, w, ch)
+    else:  # big-endian sample pairs -> exact uint16
+        b16 = flat.reshape(h, w, ch, 2).astype(np.uint16)
+        px = (b16[..., 0] << 8) | b16[..., 1]
     if color == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -329,19 +378,42 @@ def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
     return w, h, ch, px
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """pixels[h, w] or [h, w, c] uint8 (c in 1/2/3/4) -> PNG bytes
-    (filter 0 scanlines, one zlib IDAT)."""
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """pixels[h, w] or [h, w, c] (c in 1/2/3/4) -> PNG bytes (filter 0
+    scanlines, one zlib IDAT). uint8 input writes depth 8; uint16 writes
+    depth 16 (big-endian samples). interlace=True writes Adam7 passes."""
     import zlib
 
-    px = np.asarray(pixels, dtype=np.uint8)
+    px = np.asarray(pixels)
+    depth = 16 if px.dtype == np.uint16 else 8
+    px = px.astype(np.uint16 if depth == 16 else np.uint8, copy=False)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    scan = np.zeros((h, w * ch + 1), np.uint8)
-    scan[:, 1:] = px.reshape(h, w * ch)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def rowbytes(sub: np.ndarray) -> bytes:
+        hh, ww = sub.shape[:2]
+        if depth == 8:
+            raw = sub.reshape(hh, ww * ch)
+        else:
+            be = np.empty((hh, ww, ch, 2), np.uint8)
+            be[..., 0] = (sub >> 8).astype(np.uint8)
+            be[..., 1] = (sub & 0xFF).astype(np.uint8)
+            raw = be.reshape(hh, ww * ch * 2)
+        scan = np.zeros((hh, raw.shape[1] + 1), np.uint8)
+        scan[:, 1:] = raw
+        return scan.tobytes()
+
+    if interlace:
+        payload = b"".join(
+            rowbytes(px[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].size
+        )
+    else:
+        payload = rowbytes(px)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -354,6 +426,6 @@ def encode_png(pixels: np.ndarray) -> bytes:
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IDAT", zlib.compress(payload, 6))
         + chunk(b"IEND", b"")
     )

@@ -5,9 +5,10 @@ Media travel as opaque `binary` payload columns with typed metadata, decoded
 and featurized inside actor-pool map_batches stages. Payload format is
 sniffed per row (functions/codecs.sniff):
 
-* PPM/PGM/BMP/8-bit-PNG images and RIFF PCM WAV audio decode for REAL with the
-  pure-numpy codecs in `plakar_ray.functions.codecs` — no library needed.
-* Remaining compressed formats (JPEG, 16-bit/Adam7 PNG, ...) use PIL when
+* PPM/PGM/BMP/PNG (8/16-bit, incl. Adam7) images and RIFF PCM WAV audio
+  decode for REAL with the pure-numpy codecs in
+  `plakar_ray.functions.codecs` — no library needed.
+* Remaining compressed formats (JPEG, ...) use PIL when
   importable; otherwise
   strict=True raises NotImplementedError (the honest production gate) and
   strict=False substitutes a deterministic fake decode (byte-histogram
@@ -42,7 +43,7 @@ class DecodeImageStage:
     """(media_id, payload) -> (media_id, width, height, channels,
     feat: fixed_size_list<float>(16)).
 
-    PPM/PGM/BMP/8-bit-PNG payloads decode for real (pure-numpy codecs); compressed
+    PPM/PGM/BMP/PNG payloads decode for real (pure-numpy codecs); compressed
     formats decode via PIL when available, else the strict gate / fake
     applies. feat is the normalized 16-bin intensity histogram of the
     decoded pixels (of the raw payload bytes on the fake path) — stable
@@ -94,11 +95,13 @@ class DecodeImageStage:
             w, h, c, px = codecs.decode_bmp(payload)
             return w, h, c, self._pixel_feat(px)
         if kind == "png":
-            # Pure stdlib-zlib + numpy decode (functions/codecs.decode_png);
-            # falls back to PIL only for PNG features it rejects (16-bit,
-            # Adam7 interlace).
+            # Pure stdlib-zlib + numpy decode (functions/codecs.decode_png,
+            # incl. 16-bit and Adam7); falls back to PIL only for PNG
+            # features it rejects (sub-byte depths, exotic chunks).
             try:
                 w, h, c, px = codecs.decode_png(payload)
+                if px.dtype == np.uint16:  # feature histogram is 8-bit-bucketed
+                    px = (px >> 8).astype(np.uint8)
                 return w, h, c, self._pixel_feat(px)
             except ValueError:
                 if self.strict and not self.has_pil:
@@ -108,8 +111,8 @@ class DecodeImageStage:
         if self.strict:
             raise NotImplementedError(
                 f"image decode for format {kind!r} needs PIL (not in this "
-                "environment); uncompressed PPM/PGM/BMP and 8-bit PNG decode "
-                "natively, or run with strict=False for the deterministic fake"
+                "environment); uncompressed PPM/PGM/BMP and 8/16-bit or Adam7 "
+                "PNG decode natively, or run with strict=False for the fake"
             )
         return self._fake_decode(payload)
 

@@ -368,6 +368,71 @@ def test_png_codec_all_filters_and_palette():
     assert c == 3 and np.array_equal(dec, pal[idx])
 
 
+def test_png_16bit_and_adam7():
+    """16-bit PNGs decode to exact uint16 (big-endian pairs, byte-wise
+    filters with a 2x-channel left lag) and Adam7-interlaced images of odd
+    sizes decode equal to their plain encoding. The 16-bit Sub case is also
+    checked against a hand-computed spec recurrence, not just round-trip."""
+    import struct
+    import zlib
+
+    from plakar_ray.functions import codecs
+
+    rng = np.random.default_rng(21)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # --- spec compliance: 16-bit gray, one scanline, filter 1 (Sub).
+    # Filters act on BYTES with lag = bytes-per-pixel (2 for gray16):
+    # recon[x] = raw[x] + recon[x-2]; pixels are big-endian pairs.
+    raw = bytes([1, 0x01, 0x02, 0x80, 0xFF, 0x90, 0x01])  # ftype + 3 px
+    rec = [0] * 6
+    for x in range(6):
+        rec[x] = (raw[1 + x] + (rec[x - 2] if x >= 2 else 0)) & 0xFF
+    expected = np.array(
+        [(rec[0] << 8) | rec[1], (rec[2] << 8) | rec[3], (rec[4] << 8) | rec[5]],
+        dtype=np.uint16,
+    )
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 16, 0, 0, 0, 0)
+    enc = (
+        codecs._PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, c, dec = codecs.decode_png(np.frombuffer(enc, np.uint8))
+    assert (w, h, c) == (3, 1, 1) and dec.dtype == np.uint16
+    assert np.array_equal(dec[:, :, 0], expected[None, :])
+
+    # --- 16-bit round-trips, 1 and 3 channels
+    for shape in [(7, 5, 1), (4, 9, 3)]:
+        px = rng.integers(0, 65536, shape, dtype=np.uint16)
+        w, h, c, dec = codecs.decode_png(
+            np.frombuffer(codecs.encode_png(px), np.uint8)
+        )
+        assert (h, w, c) == shape and dec.dtype == np.uint16
+        assert np.array_equal(dec, px)
+
+    # --- Adam7 round-trips at sizes exercising empty and partial passes,
+    # 8- and 16-bit, 1-4 channels
+    for shape, dtype in [
+        ((1, 1, 1), np.uint8), ((3, 5, 3), np.uint8), ((8, 8, 4), np.uint8),
+        ((13, 11, 2), np.uint8), ((9, 16, 3), np.uint16), ((2, 2, 1), np.uint16),
+    ]:
+        hi = 256 if dtype == np.uint8 else 65536
+        px = rng.integers(0, hi, shape, dtype=dtype)
+        buf = np.frombuffer(codecs.encode_png(px, interlace=True), np.uint8)
+        w, h, c, dec = codecs.decode_png(buf)
+        assert (h, w, c) == shape and np.array_equal(dec, px), (shape, dtype)
+        # interlaced and plain encodings must decode identically
+        _, _, _, dec2 = codecs.decode_png(
+            np.frombuffer(codecs.encode_png(px), np.uint8)
+        )
+        assert np.array_equal(dec, dec2)
+
+
 def test_png_strict_decode_in_media_stage():
     """8-bit PNG decodes for REAL through the strict image stage — no PIL
     needed (stdlib zlib + numpy unfiltering)."""
@@ -386,3 +451,18 @@ def test_png_strict_decode_in_media_stage():
     assert out.column("width")[0].as_py() == 10
     assert out.column("height")[0].as_py() == 12
     assert out.column("channels")[0].as_py() == 3
+
+    # 16-bit Adam7 payload also passes the strict gate natively
+    px16 = rng.integers(0, 65536, (6, 11, 3), dtype=np.uint16)
+    t16 = pa.table(
+        {
+            "media_id": pa.array([2], type=pa.int64()),
+            "payload": pa.array(
+                [codecs.encode_png(px16, interlace=True)], type=pa.binary()
+            ),
+        }
+    )
+    out16 = DecodeImageStage(strict=True)(t16)
+    assert out16.column("width")[0].as_py() == 11
+    assert out16.column("height")[0].as_py() == 6
+    assert out16.column("channels")[0].as_py() == 3
