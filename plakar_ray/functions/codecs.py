@@ -9,11 +9,13 @@ numpy decodes directly:
   top-down rows.
 * WAV: RIFF/WAVE with PCM (format 1) 8/16/32-bit or IEEE-float (format 3)
   samples.
-* PNG: 8- and 16-bit gray/RGB/palette/alpha, non-interlaced or
-  Adam7-interlaced — the DEFLATE payload is stdlib zlib and the five
+* PNG: every legal depth/color combination — gray 1/2/4/8/16, palette
+  1/2/4/8, RGB / gray+alpha / RGBA 8/16, non-interlaced or
+  Adam7-interlaced. The DEFLATE payload is stdlib zlib and the five
   scanline filters are small byte-wise integer recurrences with a
   bytes-per-pixel left lag (see _png_unfilter), so no imaging library is
-  needed; 16-bit samples are returned exactly as uint16.
+  needed; 16-bit samples return exactly as uint16, sub-byte gray by
+  exact bit replication.
 
 These make the media stages' strict path REAL for uncompressed inputs and
 PNG; the remaining compressed formats (JPEG/MP3/...) stay gated behind
@@ -303,9 +305,11 @@ def _png_unfilter(dec: np.ndarray, h: int, stride: int, bpp: int, pos: int):
 def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
     """PNG -> (width, height, channels, pixels[h, w, c]).
 
-    Supports bit depths 8 and 16 (16-bit pixels returned as uint16, exact),
-    color types 0/2/3/4/6 (palette expanded to RGB), non-interlaced and
-    Adam7-interlaced. Raises ValueError on anything else (sub-byte depths)."""
+    Supports every legal depth/color combination: gray 1/2/4/8/16, palette
+    1/2/4/8 (expanded to RGB), RGB / gray+alpha / RGBA 8/16; non-interlaced
+    and Adam7-interlaced. 16-bit pixels return as exact uint16; sub-byte
+    gray scales to the full 8-bit range by bit replication (17/85/255
+    steps, exact integers); palette indices index PLTE unscaled."""
     import zlib
 
     raw = bytes(buf)
@@ -328,25 +332,53 @@ def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG (depth={depth}, interlace={interlace})"
         )
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unsupported color type {color}")
-    if color == 3 and depth != 8:
-        raise ValueError("palette PNG must be 8-bit here")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"sub-byte depth illegal for color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette is not legal PNG")
     ch = _PNG_CHANNELS[color]
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)  # filter left-lag in bytes (>=1 per spec)
+    sdt = np.uint16 if depth == 16 else np.uint8
+
+    def stride_of(wl: int) -> int:  # filtered scanline bytes for wl pixels
+        return (wl * ch * depth + 7) // 8
+
+    def to_samples(rows: np.ndarray, wl: int) -> np.ndarray:
+        """(n, stride_of(wl)) reconstructed bytes -> (n, wl, ch) samples."""
+        if depth == 8:
+            return rows.reshape(-1, wl, ch)
+        if depth == 16:  # big-endian sample pairs -> exact uint16
+            b16 = rows.reshape(-1, wl, ch, 2).astype(np.uint16)
+            return (b16[..., 0] << 8) | b16[..., 1]
+        # sub-byte: big-endian bit groups within each scanline byte
+        bits = np.unpackbits(rows, axis=1)[:, : wl * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(-1, wl, depth) * weights).sum(axis=2).astype(np.uint8)
+        return vals[:, :, None]
+
     dec = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if interlace == 0:
-        stride = w * bpp
+        stride = stride_of(w)
         if dec.shape[0] != h * (stride + 1):
             raise ValueError("PNG payload size mismatch")
-        flat, _ = _png_unfilter(dec, h, stride, bpp, 0)
+        rows, _ = _png_unfilter(dec, h, stride, bpp, 0)
+        px = to_samples(rows, w)
     else:
         # Adam7: seven independently-filtered sub-images, scattered onto
-        # the (y0::dy, x0::dx) grid; empty passes contribute no scanlines.
+        # the (y0::dy, x0::dx) sample grid (sub-byte passes re-pack at
+        # their own width, so scatter samples, not bytes); empty passes
+        # contribute no scanlines.
         passes = []
         expect = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -354,27 +386,23 @@ def decode_png(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
             hp = (h - y0 + dy - 1) // dy
             passes.append((x0, y0, dx, dy, wp, hp))
             if wp > 0 and hp > 0:
-                expect += hp * (wp * bpp + 1)
+                expect += hp * (stride_of(wp) + 1)
         if dec.shape[0] != expect:
             raise ValueError("PNG payload size mismatch")
-        flat = np.zeros((h, w * bpp), np.uint8)
-        grid = flat.reshape(h, w, bpp)
+        px = np.zeros((h, w, ch), sdt)
         p = 0
         for x0, y0, dx, dy, wp, hp in passes:
             if wp <= 0 or hp <= 0:
                 continue
-            sub, p = _png_unfilter(dec, hp, wp * bpp, bpp, p)
-            grid[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
-    if depth == 8:
-        px = flat.reshape(h, w, ch)
-    else:  # big-endian sample pairs -> exact uint16
-        b16 = flat.reshape(h, w, ch, 2).astype(np.uint16)
-        px = (b16[..., 0] << 8) | b16[..., 1]
+            sub, p = _png_unfilter(dec, hp, stride_of(wp), bpp, p)
+            px[y0::dy, x0::dx] = to_samples(sub, wp)
     if color == 3:  # palette -> RGB
         if plte is None:
             raise ValueError("palette PNG without PLTE")
         px = plte[px[:, :, 0]]
         ch = 3
+    elif depth < 8:  # gray bit replication: 0..2^d-1 -> exact 0..255 steps
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return w, h, ch, px
 
 

@@ -5,7 +5,7 @@ Media travel as opaque `binary` payload columns with typed metadata, decoded
 and featurized inside actor-pool map_batches stages. Payload format is
 sniffed per row (functions/codecs.sniff):
 
-* PPM/PGM/BMP/PNG (8/16-bit, incl. Adam7) images and RIFF PCM WAV audio
+* PPM/PGM/BMP/PNG (all legal depths, incl. Adam7) images and RIFF PCM WAV audio
   decode for REAL with the pure-numpy codecs in
   `plakar_ray.functions.codecs` — no library needed.
 * Remaining compressed formats (JPEG, ...) use PIL when
@@ -96,8 +96,8 @@ class DecodeImageStage:
             return w, h, c, self._pixel_feat(px)
         if kind == "png":
             # Pure stdlib-zlib + numpy decode (functions/codecs.decode_png,
-            # incl. 16-bit and Adam7); falls back to PIL only for PNG
-            # features it rejects (sub-byte depths, exotic chunks).
+            # all legal depth/color combos incl. Adam7); PIL only for
+            # payloads it rejects (malformed / exotic chunk layouts).
             try:
                 w, h, c, px = codecs.decode_png(payload)
                 if px.dtype == np.uint16:  # feature histogram is 8-bit-bucketed
@@ -111,8 +111,8 @@ class DecodeImageStage:
         if self.strict:
             raise NotImplementedError(
                 f"image decode for format {kind!r} needs PIL (not in this "
-                "environment); uncompressed PPM/PGM/BMP and 8/16-bit or Adam7 "
-                "PNG decode natively, or run with strict=False for the fake"
+                "environment); uncompressed PPM/PGM/BMP and PNG (all legal "
+                "depths, incl. Adam7) decode natively, or strict=False fakes"
             )
         return self._fake_decode(payload)
 

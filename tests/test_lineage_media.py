@@ -433,6 +433,85 @@ def test_png_16bit_and_adam7():
         assert np.array_equal(dec, dec2)
 
 
+def test_png_sub_byte_depths():
+    """1/2/4-bit gray and palette PNGs decode exactly: big-endian bit groups
+    per scanline byte, zero-padded to the byte boundary, byte-wise filters
+    with lag 1, gray scaled by bit replication (17/85/255 steps), Adam7
+    passes re-packed at their own width."""
+    import struct
+    import zlib
+
+    from plakar_ray.functions import codecs
+
+    rng = np.random.default_rng(31)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def pack_rows(vals, depth):
+        """(h, w) sample values -> filtered (filter 0) scanline bytes."""
+        h, w = vals.shape
+        out = []
+        for y in range(h):
+            bits = (
+                (vals[y][:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            row = np.packbits(bits)  # zero-pads to the byte boundary
+            out.append(b"\x00" + row.tobytes())
+        return b"".join(out)
+
+    def png(w, h, depth, color, payload, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        parts = [codecs._PNG_MAGIC, chunk(b"IHDR", ihdr)]
+        if plte is not None:
+            parts.append(chunk(b"PLTE", plte.tobytes()))
+        parts += [chunk(b"IDAT", zlib.compress(payload)), chunk(b"IEND", b"")]
+        return np.frombuffer(b"".join(parts), np.uint8)
+
+    # gray 1/2/4-bit, widths that don't fill the last byte
+    for depth, shape in [(1, (3, 10)), (2, (5, 7)), (4, (4, 5))]:
+        vals = rng.integers(0, 1 << depth, shape, dtype=np.uint8)
+        w, h, c, dec = codecs.decode_png(
+            png(shape[1], shape[0], depth, 0, pack_rows(vals, depth))
+        )
+        assert (h, w, c) == (*shape, 1)
+        assert np.array_equal(dec[:, :, 0], vals * (255 // ((1 << depth) - 1)))
+
+    # 2-bit palette with an Up-filtered second row (filters act on the
+    # PACKED bytes): row1_raw = row1_bytes - row0_bytes mod 256
+    idx = rng.integers(0, 4, (2, 9), dtype=np.uint8)
+    packed = [
+        np.frombuffer(pack_rows(idx[y : y + 1], 2), np.uint8)[1:] for y in (0, 1)
+    ]
+    payload = (
+        b"\x00" + packed[0].tobytes()
+        + b"\x02" + ((packed[1].astype(np.int16) - packed[0]) % 256)
+        .astype(np.uint8).tobytes()
+    )
+    plte = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    w, h, c, dec = codecs.decode_png(png(9, 2, 2, 3, payload, plte))
+    assert c == 3 and np.array_equal(dec, plte[idx])
+
+    # 4-bit gray, Adam7: per-pass packing at the pass's own width
+    vals = rng.integers(0, 16, (7, 13), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in codecs._ADAM7:
+        sub = vals[y0::dy, x0::dx]
+        if sub.size:
+            parts.append(pack_rows(sub, 4))
+    ihdr = struct.pack(">IIBBBBB", 13, 7, 4, 0, 0, 0, 1)
+    enc = (
+        codecs._PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts))) + chunk(b"IEND", b"")
+    )
+    w, h, c, dec = codecs.decode_png(np.frombuffer(enc, np.uint8))
+    assert (w, h, c) == (13, 7, 1)
+    assert np.array_equal(dec[:, :, 0], vals * 17)
+
+
 def test_png_strict_decode_in_media_stage():
     """8-bit PNG decodes for REAL through the strict image stage — no PIL
     needed (stdlib zlib + numpy unfiltering)."""
