@@ -18,10 +18,13 @@ numpy decodes directly:
   exact bit replication.
 
 These make the media stages' strict path REAL for uncompressed inputs and
-PNG; the remaining compressed formats (JPEG/MP3/...) stay gated behind
-optional libraries (PIL is probed at stage init) because decoding them
-without one is out of scope. Encoders exist so tests can round-trip
-deterministic fixtures (including 16-bit and interlaced PNGs).
+PNG; baseline/extended-sequential JPEG decodes natively too (sibling module
+`plakar_ray.functions.jpeg` — tables ride in the file, the transform is a
+fixed 8x8 DCT). The remaining compressed formats (progressive JPEG,
+MP3/...) stay gated behind optional libraries (PIL is probed at stage
+init) because decoding them without one is out of scope. Encoders exist so
+tests can round-trip deterministic fixtures (including 16-bit and
+interlaced PNGs, and baseline JPEGs via jpeg.encode_jpeg).
 
 All decoders take a 1-D uint8 numpy view (zero-copy from an Arrow binary
 column) and raise ValueError on malformed input.

@@ -5,10 +5,11 @@ Media travel as opaque `binary` payload columns with typed metadata, decoded
 and featurized inside actor-pool map_batches stages. Payload format is
 sniffed per row (functions/codecs.sniff):
 
-* PPM/PGM/BMP/PNG (all legal depths, incl. Adam7) images and RIFF PCM WAV audio
-  decode for REAL with the pure-numpy codecs in
-  `plakar_ray.functions.codecs` — no library needed.
-* Remaining compressed formats (JPEG, ...) use PIL when
+* PPM/PGM/BMP/PNG (all legal depths, incl. Adam7) images, baseline/
+  extended-sequential JPEG, and RIFF PCM WAV audio decode for REAL with
+  the pure-numpy codecs in `plakar_ray.functions.codecs` and
+  `plakar_ray.functions.jpeg` — no library needed.
+* Remaining compressed formats (progressive JPEG, MP3, ...) use PIL when
   importable; otherwise
   strict=True raises NotImplementedError (the honest production gate) and
   strict=False substitutes a deterministic fake decode (byte-histogram
@@ -26,7 +27,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from plakar_ray.functions import codecs
+from plakar_ray.functions import codecs, jpeg
 from plakar_ray.functions.arrowbytes import byte_views
 
 
@@ -43,8 +44,9 @@ class DecodeImageStage:
     """(media_id, payload) -> (media_id, width, height, channels,
     feat: fixed_size_list<float>(16)).
 
-    PPM/PGM/BMP/PNG payloads decode for real (pure-numpy codecs); compressed
-    formats decode via PIL when available, else the strict gate / fake
+    PPM/PGM/BMP/PNG and baseline-JPEG payloads decode for real (pure-numpy
+    codecs); remaining compressed modes decode via PIL when available, else
+    the strict gate / fake
     applies. feat is the normalized 16-bin intensity histogram of the
     decoded pixels (of the raw payload bytes on the fake path) — stable
     across runs and processes.
@@ -106,13 +108,24 @@ class DecodeImageStage:
             except ValueError:
                 if self.strict and not self.has_pil:
                     raise
+        if kind == "jpeg":
+            # Pure-numpy baseline/extended-sequential decode
+            # (functions/jpeg.decode_jpeg); PIL only for the modes it
+            # rejects (progressive/arithmetic/hierarchical, 12-bit).
+            try:
+                w, h, c, px = jpeg.decode_jpeg(payload)
+                return w, h, c, self._pixel_feat(px)
+            except ValueError:
+                if self.strict and not self.has_pil:
+                    raise
         if self.has_pil and kind in ("jpeg", "png"):
             return self._pil_decode(payload)
         if self.strict:
             raise NotImplementedError(
                 f"image decode for format {kind!r} needs PIL (not in this "
-                "environment); uncompressed PPM/PGM/BMP and PNG (all legal "
-                "depths, incl. Adam7) decode natively, or strict=False fakes"
+                "environment); PPM/PGM/BMP, PNG (all legal depths, incl. "
+                "Adam7) and baseline JPEG decode natively, or strict=False "
+                "fakes"
             )
         return self._fake_decode(payload)
 

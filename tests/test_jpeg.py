@@ -1,0 +1,156 @@
+"""Pure-numpy baseline JPEG codec tests (functions/jpeg.py).
+
+The decoder reads every table it uses from the file (DQT/DHT), so decode
+correctness does not depend on the repo's Annex-K constants; the constants
+only shape the encoder's streams and are validated here for canonical-
+Huffman consistency. Round trips assert tight bounds on smooth content
+(JPEG is lossy; DC-only content is near-exact) and a PIL differential gate
+runs wherever PIL exists.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from plakar_ray.functions import jpeg
+
+
+def _smooth(h, w, seed=0):
+    """Deterministic smooth RGB test image (low AC energy)."""
+    yy = np.linspace(0, 255, h)[:, None]
+    xx = np.linspace(0, 255, w)[None, :]
+    r = xx.repeat(h, 0)[:h]
+    g = yy.repeat(w, 1)[:, :w]
+    b = (xx + yy) / 2
+    return np.stack([r, g, b], -1).astype(np.uint8)
+
+
+def _decode(enc: bytes):
+    return jpeg.decode_jpeg(np.frombuffer(enc, np.uint8))
+
+
+def test_annex_k_tables_are_valid_canonical_huffman():
+    for bits, vals in (jpeg.HUFF_DC_LUMA, jpeg.HUFF_DC_CHROMA,
+                       jpeg.HUFF_AC_LUMA, jpeg.HUFF_AC_CHROMA):
+        lut_val, lut_len = jpeg.build_decode_lut(bits, vals)  # raises if bad
+        # every symbol reachable, prefix-free by construction
+        assert sum(bits) == len(vals)
+        reachable = set(int(v) for v, l in zip(lut_val, lut_len) if l > 0)
+        assert reachable == set(vals)
+    # DC tables carry the 12 size categories, AC the 162 run/size symbols
+    assert len(jpeg.HUFF_DC_LUMA[1]) == 12
+    assert len(jpeg.HUFF_DC_CHROMA[1]) == 12
+    assert len(jpeg.HUFF_AC_LUMA[1]) == 162
+    assert len(jpeg.HUFF_AC_CHROMA[1]) == 162
+
+
+def test_solid_color_near_exact():
+    px = np.full((32, 48, 3), [120, 60, 200], dtype=np.uint8)
+    w, h, c, dec = _decode(jpeg.encode_jpeg(px, quality=95))
+    assert (w, h, c) == (48, 32, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_smooth_gradient_roundtrip_psnr():
+    px = _smooth(64, 80)
+    w, h, c, dec = _decode(jpeg.encode_jpeg(px, quality=92))
+    assert (w, h, c) == (80, 64, 3)
+    err = dec.astype(float) - px.astype(float)
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-9))
+    assert psnr > 40
+    assert np.abs(err).max() <= 8
+
+
+def test_grayscale_and_odd_dimensions():
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    # upsample noise to a smooth 37x53 field
+    g = np.kron(base, np.ones((8, 8), np.uint8))[:37, :53]
+    w, h, c, dec = _decode(jpeg.encode_jpeg(g, quality=95))
+    assert (w, h, c) == (53, 37, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 12
+
+
+def test_420_subsampling_and_restart_markers():
+    px = _smooth(50, 70, seed=3)  # not multiples of 16: exercises MCU pad
+    enc_plain = jpeg.encode_jpeg(px, quality=92, subsampling="420")
+    enc_dri = jpeg.encode_jpeg(px, quality=92, subsampling="420",
+                               restart_interval=3)
+    assert b"\xff\xdd" in enc_dri and b"\xff\xd0" in enc_dri
+    w, h, c, dec_plain = _decode(enc_plain)
+    w2, h2, c2, dec_dri = _decode(enc_dri)
+    assert (w, h, c) == (70, 50, 3) == (w2, h2, c2)
+    # restart intervals change the byte stream, never the decoded pixels
+    assert np.array_equal(dec_plain, dec_dri)
+    err = np.abs(dec_plain.astype(int) - px.astype(int))
+    assert err.max() <= 16  # chroma is half-resolution on purpose
+
+
+def test_quality_knob_moves_size_and_error():
+    px = _smooth(48, 48)
+    hi = jpeg.encode_jpeg(px, quality=95)
+    lo = jpeg.encode_jpeg(px, quality=20)
+    assert len(lo) < len(hi)
+    _, _, _, dec_hi = _decode(hi)
+    _, _, _, dec_lo = _decode(lo)
+    e_hi = np.abs(dec_hi.astype(int) - px.astype(int)).mean()
+    e_lo = np.abs(dec_lo.astype(int) - px.astype(int)).mean()
+    assert e_hi <= e_lo
+
+
+def test_malformed_streams_raise():
+    px = _smooth(16, 16)
+    good = jpeg.encode_jpeg(px, quality=90)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(np.frombuffer(b"\xff\xd8\xff\xe0junk", np.uint8))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(np.frombuffer(good[:40], np.uint8))  # no SOS
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(np.frombuffer(b"notajpeg", np.uint8))
+    # flipping the SOF marker to progressive must hit the honest gate
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.decode_jpeg(np.frombuffer(bytes(prog), np.uint8))
+
+
+def test_decode_reads_tables_from_file_not_constants():
+    """A stream quantized with non-Annex-K tables still decodes right."""
+    px = _smooth(32, 32)
+    enc = jpeg.encode_jpeg(px, quality=100)  # quality 100 -> q=1 everywhere
+    _, _, _, dec = _decode(enc)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_strict_media_stage_decodes_jpeg_natively():
+    from plakar_ray.stages.media import DecodeImageStage
+
+    px = _smooth(40, 56)
+    t = pa.table({
+        "media_id": pa.array([1], type=pa.int64()),
+        "payload": pa.array([jpeg.encode_jpeg(px, quality=90)],
+                            type=pa.binary()),
+    })
+    out = DecodeImageStage(strict=True)(t)
+    assert out.column("width").to_pylist() == [56]
+    assert out.column("height").to_pylist() == [40]
+    assert out.column("channels").to_pylist() == [3]
+    feat = np.array(out.column("feat").to_pylist()[0])
+    assert feat.shape == (16,) and abs(feat.sum() - 1.0) < 1e-9
+    # the feature is the real pixel histogram, not the payload fake
+    w, h, c, dec = _decode(jpeg.encode_jpeg(px, quality=90))
+    hist = np.bincount((dec.reshape(-1) >> 4), minlength=16).astype(float)
+    assert np.allclose(feat, hist / hist.sum())
+
+
+def test_pil_differential():
+    """Where PIL exists, its decode of our stream must agree closely."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    px = _smooth(64, 64)
+    enc = jpeg.encode_jpeg(px, quality=92)
+    ours = _decode(enc)[3]
+    theirs = np.asarray(PIL.open(io.BytesIO(enc)).convert("RGB"))
+    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2

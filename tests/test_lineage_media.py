@@ -261,13 +261,14 @@ def test_media_real_decode_strict(ray_session):
         "payload": pa.array([codecs.encode_ppm(imgs[1])], type=pa.binary()),
     })).column("feat").to_pylist()[0]
     assert np.allclose(ppm_feat, list(out.feat[1]))
-    # strict still gates compressed formats
+    # strict still rejects a malformed jpeg-magic payload honestly (the
+    # native baseline decoder raises ValueError on the truncated stream)
     jpeg = pa.table({
         "media_id": pa.array([0], type=pa.int64()),
         "payload": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], type=pa.binary()),
     })
     if not DecodeImageStage(strict=True).has_pil:
-        with pytest.raises(NotImplementedError):
+        with pytest.raises((ValueError, NotImplementedError)):
             DecodeImageStage(strict=True)(jpeg)
 
     # audio: real WAV frame count + RMS features under strict
