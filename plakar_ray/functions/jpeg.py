@@ -1,20 +1,23 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure-numpy JPEG codec (ITU-T T.81): baseline, extended sequential, and
+progressive DCT modes.
 
 Closes the last compressed-media gap flagged by the round-2 judge: web
 crawls are full of JPEGs and this sandbox has no PIL, so the strict decode
-path in `stages/media.py` previously had to refuse them. Baseline JPEG
-needs no library: every table the decoder uses (quantization, Huffman)
-rides inside the file (DQT/DHT segments), the entropy layer is canonical
-Huffman + magnitude bits, and the transform is a fixed 8x8 DCT — all
-expressible with stdlib + numpy.
+path in `stages/media.py` previously had to refuse them. Huffman-coded
+JPEG needs no library: every table the decoder uses (quantization,
+Huffman) rides inside the file (DQT/DHT segments), the entropy layer is
+canonical Huffman + magnitude bits, and the transform is a fixed 8x8 DCT —
+all expressible with stdlib + numpy.
 
 Decoder (`decode_jpeg`):
 
 * Markers: SOI, APPn/COM (skipped), DQT (8/16-bit precision, multiple
   tables per segment), DHT (multiple tables per segment), DRI, SOF0/SOF1
-  (baseline / extended sequential — same decode path), SOS, RSTn, EOI.
-  Progressive (SOF2) and arithmetic/hierarchical modes raise ValueError —
-  the media stage falls through to its PIL-probe / strict gate for those.
+  (baseline / extended sequential — same decode path), SOF2 (progressive:
+  spectral selection AND successive approximation, DC/AC first +
+  refinement scans, EOB runs), SOS, RSTn, EOI. Lossless (SOF3) and
+  arithmetic/hierarchical modes raise ValueError — the media stage falls
+  through to its PIL-probe / strict gate for those.
 * Huffman decode is table-driven: each (class, id) table expands to a
   65536-entry (value, code-length) lookup, so each symbol is one 16-bit
   peek + one indexed read. The per-MCU loop is Python — entropy decode is
@@ -26,13 +29,17 @@ Decoder (`decode_jpeg`):
   broadcast over the block axis), as is chroma upsampling (np.repeat) and
   YCbCr->RGB (BT.601 / JFIF matrix).
 * Restart intervals: the scan splits on RST markers; each segment gets a
-  fresh bit reader and DC predictors (T.81 E.2.4).
+  fresh bit reader, DC predictors and EOB run (T.81 E.2.4).
 
-Encoder (`encode_jpeg`) exists so tests can round-trip deterministic
-fixtures without PIL: quality-scaled Annex-K quantization tables, the
-Annex-K "typical" Huffman tables (spec-published constants, validated
-prefix-free by the test suite), 4:4:4 or 4:2:0 sampling, optional restart
-intervals, grayscale or RGB.
+Encoders (`encode_jpeg`, `encode_jpeg_progressive`) exist so tests can
+round-trip deterministic fixtures without PIL: quality-scaled Annex-K
+quantization tables, the Annex-K "typical" Huffman tables
+(spec-published constants, validated prefix-free by the test suite),
+4:4:4 or 4:2:0 sampling, optional restart intervals, grayscale or RGB.
+Both encoders emit the same quantized coefficients, so decoding a
+baseline and a progressive stream of the same input yields BIT-IDENTICAL
+pixels — the test suite's strongest internal oracle for the progressive
+entropy layer.
 
 Both halves take/return numpy arrays; malformed input raises ValueError.
 Accuracy note: JPEG decoders may legally differ by ±1/LSB in IDCT
@@ -339,6 +346,8 @@ def decode_jpeg(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
     htables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     restart_interval = 0
     frame = None  # (height, width, [(cid, h, v, tq), ...])
+    progressive = False
+    pstate = None  # persistent coefficient state across progressive scans
     pos = 2
     raw = data.tobytes()
 
@@ -386,7 +395,8 @@ def decode_jpeg(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
                 vals = [int(v) for v in data[p:p + nv]]
                 p += nv
                 htables[(int(tc), int(th))] = build_decode_lut(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            progressive = marker == 0xC2
             prec = int(data[body_start])
             if prec != 8:
                 raise ValueError(f"unsupported sample precision {prec}")
@@ -403,28 +413,52 @@ def decode_jpeg(buf: np.ndarray) -> tuple[int, int, int, np.ndarray]:
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension")
             frame = (int(h), int(w), comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG mode (progressive/arithmetic/hierarchical)")
+                "unsupported JPEG mode (lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", raw, body_start)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = int(data[body_start])
-            scan_tables = {}
+            scan_comps = []  # (component id, Td, Ta) in scan order
             for i in range(ns):
                 o = body_start + 1 + 2 * i
-                cs = int(data[o])
-                scan_tables[cs] = (data[o + 1] >> 4, data[o + 1] & 0x0F)
+                scan_comps.append((
+                    int(data[o]), int(data[o + 1]) >> 4,
+                    int(data[o + 1]) & 0x0F,
+                ))
+            o = body_start + 1 + 2 * ns
+            ss, se = int(data[o]), int(data[o + 1])
+            ah, al = int(data[o + 2]) >> 4, int(data[o + 2]) & 0x0F
             scan_end = _find_scan_end(data, body_end)
-            return _decode_scan(
-                data, body_end, scan_end, frame, scan_tables,
-                qtables, htables, restart_interval,
+            if not progressive:
+                scan_tables = {cid: (td, ta) for cid, td, ta in scan_comps}
+                return _decode_scan(
+                    data, body_end, scan_end, frame, scan_tables,
+                    qtables, htables, restart_interval,
+                )
+            if pstate is None:
+                pstate = _make_progressive_state(frame)
+            _decode_progressive_scan(
+                data, body_end, scan_end, pstate, scan_comps,
+                ss, se, ah, al, htables, restart_interval,
             )
+            pos = scan_end
+            continue
         # APPn / COM / others: skip
         pos = body_end
+
+    if progressive and pstate is not None:
+        height, width, comps = frame
+        for pl, (_cid, _h, _v, tq) in zip(pstate["plans"], comps):
+            if tq not in qtables:
+                raise ValueError("missing quant table")
+            pl["q"] = qtables[tq]
+        return _reconstruct(
+            pstate["plans"], width, height, pstate["hmax"], pstate["vmax"])
     raise ValueError("no SOS in stream")
 
 
@@ -516,8 +550,12 @@ def _decode_scan(data, start, end, frame, scan_tables, qtables, htables,
             mcu += 1
     if mcu != total_mcus:
         raise ValueError("truncated entropy data (missing MCUs)")
+    return _reconstruct(plans, width, height, hmax, vmax)
 
-    # dequantize + IDCT, vectorized per component
+
+def _reconstruct(plans, width, height, hmax, vmax):
+    """Dequantize + IDCT (vectorized per component), upsample, color."""
+    zz = ZIGZAG
     planes = []
     for pl in plans:
         qnat = np.zeros(64, dtype=np.int32)
@@ -548,6 +586,203 @@ def _decode_scan(data, start, end, frame, scan_tables, qtables, htables,
         y + 1.772 * cb,
     ], axis=-1)
     return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------- progressive decoding
+
+
+def _make_progressive_state(frame):
+    """Persistent per-component coefficient grids for a SOF2 frame."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    plans = []
+    for cid, ch, cv, _tq in comps:
+        bw, bh = mcus_x * ch, mcus_y * cv
+        # non-interleaved scans raster over the COMPONENT's own block grid
+        # (T.81 A.2.2), which can be smaller than the MCU-padded grid
+        cw = -(-width * ch // hmax)
+        chh = -(-height * cv // vmax)
+        plans.append({
+            "cid": cid, "h": ch, "v": cv,
+            "coef": np.zeros((bh * bw, 64), dtype=np.int32),
+            "bw": bw,
+            "nb_cols": -(-cw // 8), "nb_rows": -(-chh // 8),
+            "q": None,  # filled from qtables at reconstruct time
+        })
+    return {"plans": plans, "hmax": hmax, "vmax": vmax,
+            "mcus_x": mcus_x, "mcus_y": mcus_y}
+
+
+def _decode_progressive_scan(data, start, end, pstate, scan_comps,
+                             ss, se, ah, al, htables, restart_interval):
+    """One SOF2 scan (T.81 G.2): DC/AC, first pass or refinement."""
+    by_cid = {pl["cid"]: pl for pl in pstate["plans"]}
+    plans = []
+    for cid, td, ta in scan_comps:
+        if cid not in by_cid:
+            raise ValueError("scan component not in frame")
+        pl = by_cid[cid]
+        if ss == 0 and ah == 0:
+            if (0, td) not in htables:
+                raise ValueError("missing DC Huffman table")
+            pl = dict(pl, huff=htables[(0, td)])
+        elif ss > 0:
+            if (1, ta) not in htables:
+                raise ValueError("missing AC Huffman table")
+            pl = dict(pl, huff=htables[(1, ta)])
+        plans.append(pl)
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan with nonzero Se")
+    if ss > 0 and len(plans) != 1:
+        raise ValueError("interleaved AC scan is illegal in progressive")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral band")
+
+    interleaved = len(plans) > 1
+    if interleaved:
+        mcus_x, mcus_y = pstate["mcus_x"], pstate["mcus_y"]
+        total_units = mcus_x * mcus_y
+    else:
+        total_units = plans[0]["nb_rows"] * plans[0]["nb_cols"]
+
+    segments = _split_restarts(data, start, end)
+    per_seg = restart_interval if restart_interval else total_units
+    zz = ZIGZAG
+    unit = 0
+    for seg_bytes in segments:
+        if unit >= total_units:
+            break
+        br = _BitReader(seg_bytes)
+        preds = [0] * len(plans)
+        eobrun = 0
+        seg_units = min(per_seg, total_units - unit)
+        for _ in range(seg_units):
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                blocks = []
+                for ci, pl in enumerate(plans):
+                    for by in range(pl["v"]):
+                        for bx in range(pl["h"]):
+                            row = my * pl["v"] + by
+                            col = mx * pl["h"] + bx
+                            blocks.append(
+                                (ci, pl, pl["coef"][row * pl["bw"] + col]))
+            else:
+                pl = plans[0]
+                row, col = divmod(unit, pl["nb_cols"])
+                blocks = [(0, pl, pl["coef"][row * pl["bw"] + col])]
+
+            for ci, pl, block in blocks:
+                if ss == 0 and ah == 0:  # DC first
+                    lut_val, lut_len = pl["huff"]
+                    t16 = br.peek16()
+                    length = lut_len[t16]
+                    if length == 0:
+                        raise ValueError("invalid DC Huffman prefix")
+                    br.skip(int(length))
+                    s = int(lut_val[t16])
+                    preds[ci] += _extend(br.get(s), s)
+                    block[0] = preds[ci] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    if br.get(1):
+                        block[0] |= 1 << al
+                elif ah == 0:  # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    lut_val, lut_len = pl["huff"]
+                    k = ss
+                    while k <= se:
+                        t16 = br.peek16()
+                        length = lut_len[t16]
+                        if length == 0:
+                            raise ValueError("invalid AC Huffman prefix")
+                        br.skip(int(length))
+                        rs = int(lut_val[t16])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.get(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        block[zz[k]] = _extend(br.get(s), s) << al
+                        k += 1
+                else:  # AC refinement (T.81 G.1.2.3)
+                    eobrun = _refine_ac(br, block, pl["huff"], ss, se, al,
+                                        eobrun, zz)
+            unit += 1
+    if unit != total_units:
+        raise ValueError("truncated entropy data (missing MCUs)")
+
+
+def _refine_ac(br, block, huff, ss, se, al, eobrun, zz):
+    """Refine one block's AC band by one bit of precision.
+
+    Newly-nonzero coefficients arrive as (run, ±1<<al) symbols; every
+    coefficient that is ALREADY nonzero consumes one correction bit as the
+    scan passes over it — including inside blocks skipped by an EOB run.
+    """
+    p1 = 1 << al
+    m1 = -p1
+    lut_val, lut_len = huff
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            t16 = br.peek16()
+            length = lut_len[t16]
+            if length == 0:
+                raise ValueError("invalid AC Huffman prefix")
+            br.skip(int(length))
+            rs = int(lut_val[t16])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if br.get(1) else m1
+            while k <= se:
+                idx = zz[k]
+                c = block[idx]
+                if c != 0:
+                    if br.get(1) and (c & p1) == 0:
+                        block[idx] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                block[zz[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            idx = zz[k]
+            c = block[idx]
+            if c != 0:
+                if br.get(1) and (c & p1) == 0:
+                    block[idx] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # ---------------------------------------------------------------- encoder
@@ -619,14 +854,11 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w) or (h, w, 1|3) uint8 pixels as baseline JPEG.
-
-    subsampling: '444' (no chroma subsampling) or '420' (2x2 box mean).
-    restart_interval > 0 emits DRI + RSTn markers every that-many MCUs.
-    """
+def _prepare_components(pixels: np.ndarray, quality: int, subsampling: str):
+    """Color transform + subsample + FDCT + quantize, shared by both
+    encoders. Returns (gray, height, width, samp, qy, qc, comp_blocks,
+    mcus_x, mcus_y); comp_blocks[i] has shape (mcus_y*sv, mcus_x*sh, 64)
+    in zigzag order."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -675,6 +907,46 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
         zzq = _fdct_quant(padded, qnat)
         comp_blocks.append(zzq.reshape(mcus_y * sv, mcus_x * sh, 64))
+    return (gray, height, width, samp, qy, qc, comp_blocks, mcus_x, mcus_y)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht_seg(tc: int, th: int, table) -> bytes:
+    bits, vals = table
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+
+def _file_header(gray: bool, height: int, width: int, samp, qy, qc,
+                 sof_marker: int) -> bytearray:
+    """SOI + JFIF + DQT + SOF; DHT/DRI/SOS are mode-specific."""
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    nc = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
+    for i in range(nc):
+        sh, sv = samp[i]
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += _seg(sof_marker, bytes(sof))
+    return out
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 pixels as baseline JPEG.
+
+    subsampling: '444' (no chroma subsampling) or '420' (2x2 box mean).
+    restart_interval > 0 emits DRI + RSTn markers every that-many MCUs.
+    """
+    (gray, height, width, samp, qy, qc, comp_blocks,
+     mcus_x, mcus_y) = _prepare_components(pixels, quality, subsampling)
 
     dc_codes_y = _encode_codes(*HUFF_DC_LUMA)
     ac_codes_y = _encode_codes(*HUFF_AC_LUMA)
@@ -682,7 +954,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     ac_codes_c = _encode_codes(*HUFF_AC_CHROMA)
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     total_mcus = mcus_x * mcus_y
     scan = bytearray()
     rst = 0
@@ -706,45 +978,267 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             scan += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
             since_rst = 0
-            preds = [0] * len(planes)
+            preds = [0] * len(comp_blocks)
     bw.byte_align()
     scan += bw.out
 
-    # ---- headers
-    out = bytearray(b"\xFF\xD8")  # SOI
-    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out += seg(0xDB, bytes([0x00]) + bytes(qy[ZIGZAG].astype(np.uint8)))
+    out = _file_header(gray, height, width, samp, qy, qc, sof_marker=0xC0)
+    out += _dht_seg(0, 0, HUFF_DC_LUMA) + _dht_seg(1, 0, HUFF_AC_LUMA)
     if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
-
-    nc = 1 if gray else 3
-    sof = bytearray(struct.pack(">BHHB", 8, height, width, nc))
-    for i in range(nc):
-        sh, sv = samp[i]
-        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-
-    def dht(tc: int, th: int, table) -> bytes:
-        bits, vals = table
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, HUFF_DC_LUMA) + dht(1, 0, HUFF_AC_LUMA)
-    if not gray:
-        out += dht(0, 1, HUFF_DC_CHROMA) + dht(1, 1, HUFF_AC_CHROMA)
-
+        out += _dht_seg(0, 1, HUFF_DC_CHROMA) + _dht_seg(1, 1, HUFF_AC_CHROMA)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    nc = 1 if gray else 3
     sos = bytearray([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, bytes(sos))
+    out += _seg(0xDA, bytes(sos))
     out += scan
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ----------------------------------------------------- progressive encoder
+
+#: AC table for progressive scans. Annex K's AC tables lack the EOBn
+#: symbols (r<<4, r>=1) progressive needs, so scans use one shared custom
+#: canonical table: every possible symbol at code length 8 (176 symbols in
+#: 256 slots — valid, not over-subscribed, all-ones code unused).
+_PROG_AC_HUFF = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted([r << 4 for r in range(16)]
+           + [(r << 4) | s for r in range(16) for s in range(1, 11)]),
+)
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan, with EOB-run buffering.
+
+    For refinement scans the encoder mirrors the decoder's traversal: after
+    every ZRL / run-length symbol it emits exactly the correction bits that
+    symbol's traversal consumes, and correction bits belonging to blocks
+    inside an EOB run are held back and emitted right after the EOBn
+    symbol (T.81 G.1.2.3 read back-to-front).
+    """
+
+    def __init__(self, ac_codes):
+        self.bw = _BitWriter()
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac_codes[r << 4]
+            self.bw.put(code, ln)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.bw.put(b, 1)
+        self.pending_bits = []
+
+    def bump_eobrun(self, bits):
+        self.eobrun += 1
+        self.pending_bits.extend(bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+    def restart(self, scan: bytearray, rst_idx: int):
+        self.flush_eobrun()
+        self.bw.byte_align()
+        scan += self.bw.out
+        self.bw.out = bytearray()
+        scan += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+
+    def finish(self, scan: bytearray):
+        self.flush_eobrun()
+        self.bw.byte_align()
+        scan += self.bw.out
+        self.bw.out = bytearray()
+
+
+def _prog_ac_first(w: _ProgScanWriter, bz: np.ndarray, ss: int, se: int,
+                   al: int):
+    """First AC scan of a band: run-length coding of (abs(v) >> al)."""
+    bw, ac = w.bw, w.ac_codes
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(bz[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        w.flush_eobrun()
+        while r > 15:
+            code, ln = ac[0xF0]
+            bw.put(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = ac[(r << 4) | s]
+        bw.put(code, ln)
+        coded = t if v > 0 else -t
+        bw.put(coded if coded > 0 else coded + (1 << s) - 1, s)
+        r = 0
+    if r:
+        w.bump_eobrun([])
+
+
+def _prog_ac_refine(w: _ProgScanWriter, bz: np.ndarray, ss: int, se: int,
+                    al: int):
+    """Refinement AC scan: one more precision bit for the band.
+
+    t[k] = abs >> al classifies each position: 0 = still zero, 1 = becomes
+    nonzero this scan (run-length coded), >1 = already nonzero (one
+    correction bit, emitted where the decoder's traversal reads it).
+    """
+    bw, ac = w.bw, w.ac_codes
+    band = [int(bz[k]) for k in range(ss, se + 1)]
+    t = [(v if v >= 0 else -v) >> al for v in band]
+    corr = [x & 1 for x in t]
+    n = len(band)
+    i = 0  # traversal pointer (band-relative), mirrors the decoder's k
+    for j in range(n):
+        if t[j] != 1:
+            continue
+        # zero-history run between the traversal point and this position
+        run = sum(1 for x in t[i:j] if x == 0)
+        while run > 15:
+            w.flush_eobrun()
+            code, ln = ac[0xF0]
+            bw.put(code, ln)
+            # decoder passes exactly 16 zero-history slots, reading a
+            # correction bit at every already-nonzero slot on the way
+            cnt = 0
+            while cnt < 16:
+                if t[i] == 0:
+                    cnt += 1
+                else:
+                    bw.put(corr[i], 1)
+                i += 1
+            run -= 16
+        w.flush_eobrun()
+        code, ln = ac[(run << 4) | 1]
+        bw.put(code, ln)
+        bw.put(1 if band[j] > 0 else 0, 1)
+        # decoder consumes bits at already-nonzero slots it passes before
+        # landing on position j
+        while i < j:
+            if t[i] > 1:
+                bw.put(corr[i], 1)
+            i += 1
+        i = j + 1
+    if i < n:
+        # remainder of the band rides an EOB run; its correction bits are
+        # consumed by the decoder right after the (future) EOBn symbol
+        w.bump_eobrun([corr[x] for x in range(i, n) if t[x] > 1])
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Encode pixels as a progressive (SOF2) JPEG.
+
+    Uses a fixed scan script exercising every progressive scan kind:
+    interleaved DC first (Al=1) + DC refinement, then per component two
+    spectral AC bands (1-5, 6-63) at Al=2 with two successive-approximation
+    refinement passes each. Coefficients are identical to encode_jpeg's at
+    the same (quality, subsampling), so decoding both streams yields
+    bit-identical pixels.
+    """
+    (gray, height, width, samp, qy, qc, comp_blocks,
+     mcus_x, mcus_y) = _prepare_components(pixels, quality, subsampling)
+    nc = 1 if gray else 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    dc_codes = [_encode_codes(*(HUFF_DC_LUMA if i == 0 else HUFF_DC_CHROMA))
+                for i in range(nc)]
+    ac_codes = _encode_codes(*_PROG_AC_HUFF)
+
+    out = _file_header(gray, height, width, samp, qy, qc, sof_marker=0xC2)
+    out += _dht_seg(0, 0, HUFF_DC_LUMA)
+    if not gray:
+        out += _dht_seg(0, 1, HUFF_DC_CHROMA)
+    out += _dht_seg(1, 0, _PROG_AC_HUFF)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comps, ss, se, ah, al) -> bytes:
+        body = bytearray([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, bytes(body))
+
+    # ---- scan 1: interleaved DC first (Al=1); scan 2: DC refinement
+    for ah, al in ((0, 1), (1, 0)):
+        out += sos_header(list(range(nc)), 0, 0, ah, al)
+        w = _ProgScanWriter(ac_codes)
+        scan = bytearray()
+        preds = [0] * nc
+        rst = 0
+        since = 0
+        total_mcus = mcus_x * mcus_y
+        for mcu in range(total_mcus):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(comp_blocks[ci][my * sv + by,
+                                                 mx * sh + bx, 0])
+                        if ah == 0:
+                            val = dc >> al
+                            tbits, mag = _magnitude(val - preds[ci])
+                            code, ln = dc_codes[ci][tbits]
+                            w.bw.put(code, ln)
+                            if tbits:
+                                w.bw.put(mag, tbits)
+                            preds[ci] = val
+                        else:
+                            w.bw.put((dc >> al) & 1, 1)
+            since += 1
+            if (restart_interval and since == restart_interval
+                    and mcu != total_mcus - 1):
+                w.restart(scan, rst)
+                rst += 1
+                since = 0
+                preds = [0] * nc
+        w.finish(scan)
+        out += scan
+
+    # ---- per component: AC bands, first pass then two refinements
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        cw = -(-width * sh // hmax)
+        ch = -(-height * sv // vmax)
+        nb_cols, nb_rows = -(-cw // 8), -(-ch // 8)
+        for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2),
+                               (1, 5, 2, 1), (6, 63, 2, 1),
+                               (1, 5, 1, 0), (6, 63, 1, 0)):
+            out += sos_header([ci], ss, se, ah, al)
+            w = _ProgScanWriter(ac_codes)
+            scan = bytearray()
+            rst = 0
+            since = 0
+            total_blocks = nb_rows * nb_cols
+            for b in range(total_blocks):
+                row, col = divmod(b, nb_cols)
+                bz = comp_blocks[ci][row, col]
+                if ah == 0:
+                    _prog_ac_first(w, bz, ss, se, al)
+                else:
+                    _prog_ac_refine(w, bz, ss, se, al)
+                since += 1
+                if (restart_interval and since == restart_interval
+                        and b != total_blocks - 1):
+                    w.restart(scan, rst)
+                    rst += 1
+                    since = 0
+            w.finish(scan)
+            out += scan
+
     out += b"\xFF\xD9"
     return bytes(out)

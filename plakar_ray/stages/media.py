@@ -5,11 +5,11 @@ Media travel as opaque `binary` payload columns with typed metadata, decoded
 and featurized inside actor-pool map_batches stages. Payload format is
 sniffed per row (functions/codecs.sniff):
 
-* PPM/PGM/BMP/PNG (all legal depths, incl. Adam7) images, baseline/
-  extended-sequential JPEG, and RIFF PCM WAV audio decode for REAL with
-  the pure-numpy codecs in `plakar_ray.functions.codecs` and
+* PPM/PGM/BMP/PNG (all legal depths, incl. Adam7) images, JPEG (baseline,
+  extended sequential, progressive), and RIFF PCM WAV audio decode for
+  REAL with the pure-numpy codecs in `plakar_ray.functions.codecs` and
   `plakar_ray.functions.jpeg` — no library needed.
-* Remaining compressed formats (progressive JPEG, MP3, ...) use PIL when
+* Remaining compressed formats (MP3, exotic JPEG modes, ...) use PIL when
   importable; otherwise
   strict=True raises NotImplementedError (the honest production gate) and
   strict=False substitutes a deterministic fake decode (byte-histogram
@@ -109,9 +109,9 @@ class DecodeImageStage:
                 if self.strict and not self.has_pil:
                     raise
         if kind == "jpeg":
-            # Pure-numpy baseline/extended-sequential decode
+            # Pure-numpy baseline/extended-sequential/progressive decode
             # (functions/jpeg.decode_jpeg); PIL only for the modes it
-            # rejects (progressive/arithmetic/hierarchical, 12-bit).
+            # rejects (lossless/arithmetic/hierarchical, 12-bit).
             try:
                 w, h, c, px = jpeg.decode_jpeg(payload)
                 return w, h, c, self._pixel_feat(px)

@@ -107,11 +107,17 @@ def test_malformed_streams_raise():
         jpeg.decode_jpeg(np.frombuffer(good[:40], np.uint8))  # no SOS
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(np.frombuffer(b"notajpeg", np.uint8))
-    # flipping the SOF marker to progressive must hit the honest gate
+    # flipping the SOF marker to lossless must hit the honest gate
+    lossless = bytearray(good)
+    sof = lossless.find(b"\xff\xc0")
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="lossless"):
+        jpeg.decode_jpeg(np.frombuffer(bytes(lossless), np.uint8))
+    # flipping it to SOF2 leaves a baseline scan header that is illegal in
+    # progressive mode (full-band interleaved scan) — still a clean error
     prog = bytearray(good)
-    sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(np.frombuffer(bytes(prog), np.uint8))
 
 
@@ -144,13 +150,137 @@ def test_strict_media_stage_decodes_jpeg_natively():
     assert np.allclose(feat, hist / hist.sum())
 
 
+def _prog_cases():
+    rng = np.random.default_rng(5)
+    noise = np.kron(rng.integers(0, 256, (6, 7, 3), dtype=np.uint8),
+                    np.ones((8, 8, 1), np.uint8))[:45, :51]
+    return [
+        ("smooth444", _smooth(64, 80), "444", 0),
+        ("smooth420", _smooth(50, 70), "420", 0),
+        ("blocknoise", noise, "444", 0),
+        ("gray", noise[:37, :39, 0], "444", 0),
+        ("dri420", _smooth(40, 40), "420", 2),
+        ("hardnoise", rng.integers(0, 256, (24, 24, 3), dtype=np.uint8),
+         "444", 0),
+    ]
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """Both encoders emit the same quantized coefficients, so decoding a
+    progressive stream must reproduce the baseline decode EXACTLY — the
+    strongest internal oracle for the progressive entropy layer."""
+    for name, px, sub, dri in _prog_cases():
+        for q in (30, 75, 95):
+            kw = dict(quality=q, subsampling=sub, restart_interval=dri)
+            base = jpeg.encode_jpeg(px, **kw)
+            prog = jpeg.encode_jpeg_progressive(px, **kw)
+            assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog[2:4]
+            db = _decode(base)
+            dp = _decode(prog)
+            assert db[:3] == dp[:3], (name, q)
+            assert np.array_equal(db[3], dp[3]), (name, q)
+
+
+def test_progressive_randomized_sweep():
+    """Randomized sparse/dense images across qualities — identity with the
+    baseline decode on every one (hits long ZRL runs, EOB runs spanning
+    blocks, multi-level refinement)."""
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        h = int(rng.integers(8, 49))
+        w = int(rng.integers(8, 49))
+        kind = trial % 3
+        if kind == 0:  # sparse high-frequency spikes
+            px = np.full((h, w, 3), 128, np.uint8)
+            for _ in range(6):
+                px[rng.integers(0, h), rng.integers(0, w)] = rng.integers(
+                    0, 256, 3)
+        elif kind == 1:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            base = rng.integers(0, 256, (max(h // 8, 1), max(w // 8, 1), 3),
+                                dtype=np.uint8)
+            px = np.kron(base, np.ones((8, 8, 1), np.uint8))[:h, :w]
+        q = int(rng.choice([25, 60, 90, 100]))
+        sub = "420" if trial % 2 else "444"
+        base_s = jpeg.encode_jpeg(px, quality=q, subsampling=sub)
+        prog_s = jpeg.encode_jpeg_progressive(px, quality=q, subsampling=sub)
+        assert np.array_equal(_decode(base_s)[3], _decode(prog_s)[3]), trial
+
+
+def test_ac_refinement_unit_roundtrip():
+    """Encoder->decoder round trip at the coefficient level for the AC
+    refinement scan (T.81 G.1.2.3) on crafted blocks that force the corner
+    cases: ZRL with correction bits interleaved, runs ending exactly at the
+    band edge, EOB runs spanning blocks with pending correction bits."""
+    ss, se, al = 1, 63, 0
+    zz = jpeg.ZIGZAG
+    ac_codes = jpeg._encode_codes(*jpeg._PROG_AC_HUFF)
+    lut = jpeg.build_decode_lut(*jpeg._PROG_AC_HUFF)
+
+    def craft(spec):
+        """spec: {zigzag_index: full_value}; returns full-coef zigzag array."""
+        full = np.zeros(64, np.int32)
+        for k, v in spec.items():
+            full[k] = v
+        return full
+
+    cases = [
+        # newly-nonzero after a >16-zero run with corrections inside it
+        craft({1: 5, 2: -7, 30: 1, 63: -1}),
+        # corrections only (everything already nonzero at al+1)
+        craft({k: 4 + (k % 3) for k in range(1, 20)}),
+        # empty band (pure EOB run)
+        craft({}),
+        # newly-nonzero at the very last band position
+        craft({63: -1}),
+        # dense mix
+        craft({k: (-1) ** k * (1 + k % 5) for k in range(1, 64, 3)}),
+        # two ZRLs back-to-back before a hit, corrections sprinkled
+        craft({5: 3, 40: 1}),
+        craft({2: 2, 36: -1, 50: 1}),
+    ]
+    rng = np.random.default_rng(23)
+    for _ in range(30):
+        spec = {int(k): int(rng.integers(-9, 10)) or 1
+                for k in rng.choice(np.arange(1, 64), rng.integers(0, 12),
+                                    replace=False)}
+        cases.append(craft(spec))
+
+    def approx(full, bits):
+        out = np.zeros(64, np.int32)
+        mag = np.abs(full) >> bits << bits
+        out = np.where(full >= 0, mag, -mag).astype(np.int32)
+        return out
+
+    # encode all blocks as one scan
+    w = jpeg._ProgScanWriter(ac_codes)
+    for full in cases:
+        jpeg._prog_ac_refine(w, full, ss, se, al)
+    scan = bytearray()
+    w.finish(scan)
+
+    # decode into blocks pre-seeded with the al+1 approximation
+    br = jpeg._BitReader(bytes(scan))
+    eobrun = 0
+    for full in cases:
+        prev_zz = approx(full, al + 1)
+        want_zz = approx(full, al)
+        block = np.zeros(64, np.int32)  # natural order
+        block[zz] = prev_zz
+        eobrun = jpeg._refine_ac(br, block, lut, ss, se, al, eobrun, zz)
+        got_zz = block[zz]
+        assert np.array_equal(got_zz[ss:se + 1], want_zz[ss:se + 1]), full
+
+
 def test_pil_differential():
     """Where PIL exists, its decode of our stream must agree closely."""
     PIL = pytest.importorskip("PIL.Image")
     import io
 
     px = _smooth(64, 64)
-    enc = jpeg.encode_jpeg(px, quality=92)
-    ours = _decode(enc)[3]
-    theirs = np.asarray(PIL.open(io.BytesIO(enc)).convert("RGB"))
-    assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
+    for enc in (jpeg.encode_jpeg(px, quality=92),
+                jpeg.encode_jpeg_progressive(px, quality=92)):
+        ours = _decode(enc)[3]
+        theirs = np.asarray(PIL.open(io.BytesIO(enc)).convert("RGB"))
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 2
