@@ -18,13 +18,15 @@ numpy decodes directly:
   exact bit replication.
 
 These make the media stages' strict path REAL for uncompressed inputs and
-PNG; baseline/extended-sequential JPEG decodes natively too (sibling module
-`plakar_ray.functions.jpeg` — tables ride in the file, the transform is a
-fixed 8x8 DCT). The remaining compressed formats (progressive JPEG,
-MP3/...) stay gated behind optional libraries (PIL is probed at stage
-init) because decoding them without one is out of scope. Encoders exist so
-tests can round-trip deterministic fixtures (including 16-bit and
-interlaced PNGs, and baseline JPEGs via jpeg.encode_jpeg).
+PNG; JPEG (baseline, extended sequential, progressive) decodes natively
+too (sibling module `plakar_ray.functions.jpeg` — tables ride in the file,
+the transform is a fixed 8x8 DCT), and MJPEG-in-AVI video frames extract
+via the RIFF walker below (each frame is then one JPEG). The remaining
+compressed formats (MP3, H.264, ...) stay gated behind optional libraries
+(PIL is probed at stage init) because decoding them without one is out of
+scope. Encoders exist so tests can round-trip deterministic fixtures
+(including 16-bit and interlaced PNGs, JPEGs via jpeg.encode_jpeg /
+encode_jpeg_progressive, and MJPEG AVIs via encode_avi_mjpeg).
 
 All decoders take a 1-D uint8 numpy view (zero-copy from an Arrow binary
 column) and raise ValueError on malformed input.
@@ -42,7 +44,8 @@ import numpy as np
 def sniff(buf: np.ndarray) -> str:
     """Identify a payload's container format from magic bytes.
 
-    Returns one of 'ppm', 'pgm', 'bmp', 'wav', 'jpeg', 'png', or 'unknown'.
+    Returns one of 'ppm', 'pgm', 'bmp', 'wav', 'avi', 'jpeg', 'png', or
+    'unknown'.
     """
     n = buf.shape[0]
     if n >= 2 and buf[0] == 0x50:  # 'P'
@@ -58,6 +61,12 @@ def sniff(buf: np.ndarray) -> str:
         and bytes(buf[8:12]) == b"WAVE"
     ):
         return "wav"
+    if (
+        n >= 12
+        and bytes(buf[:4]) == b"RIFF"
+        and bytes(buf[8:12]) == b"AVI "
+    ):
+        return "avi"
     if n >= 3 and buf[0] == 0xFF and buf[1] == 0xD8 and buf[2] == 0xFF:
         return "jpeg"
     if n >= 8 and bytes(buf[:8]) == b"\x89PNG\r\n\x1a\n":
@@ -460,3 +469,77 @@ def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
         + chunk(b"IDAT", zlib.compress(payload, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# --------------------------------------------------------------- AVI/MJPEG
+
+
+def avi_frame_spans(buf: np.ndarray) -> list[tuple[int, int]]:
+    """Walk an AVI's RIFF chunk tree and return (offset, size) for every
+    video frame payload ('..dc' compressed / '..db' uncompressed chunks,
+    usually inside the 'movi' LIST). For an MJPEG AVI each span is one
+    complete JPEG, decodable by functions/jpeg.decode_jpeg.
+
+    Zero-copy: spans index into the caller's buffer. Raises ValueError on
+    non-AVI or truncated chunk structure.
+    """
+    n = buf.shape[0]
+    if n < 12 or bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = bytes(buf[pos:pos + 4])
+            size = int.from_bytes(bytes(buf[pos + 4:pos + 8]), "little")
+            body = pos + 8
+            if body + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid in (b"LIST", b"RIFF"):
+                walk(body + 4, body + size)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append((body, size))
+            pos = body + size + (size & 1)
+
+    walk(12, n)
+    return frames
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Pack pre-encoded JPEG frames into a minimal spec-valid MJPEG AVI
+    (hdrl with avih/strh/strf, movi with 00dc chunks, idx1), so tests can
+    round-trip video fixtures without ffmpeg."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    usec = 1_000_000 // max(fps, 1)
+    maxbytes = max(len(f) for f in frames)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", usec, maxbytes * fps, 0, 0x10, len(frames), 0, 1,
+        maxbytes, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack(
+        "<10I", 0, 0, 0, 1, fps, 0, len(frames), maxbytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack(
+        "<I2i2H", 40, width, height, 1, 24) + b"MJPG" + struct.pack(
+        "<i2i2I", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = bytearray()
+    idx = bytearray()
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<3I", 0x10, 4 + len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", bytes(movi_body))
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -9,6 +9,8 @@ sniffed per row (functions/codecs.sniff):
   extended sequential, progressive), and RIFF PCM WAV audio decode for
   REAL with the pure-numpy codecs in `plakar_ray.functions.codecs` and
   `plakar_ray.functions.jpeg` — no library needed.
+* MJPEG-in-AVI video frame-samples for REAL (RIFF walk -> per-frame JPEG
+  decode); see FrameSampleStage.
 * Remaining compressed formats (MP3, exotic JPEG modes, ...) use PIL when
   importable; otherwise
   strict=True raises NotImplementedError (the honest production gate) and
@@ -210,9 +212,15 @@ class AudioFeatureStage:
 
 
 class FrameSampleStage:
-    """(media_id, payload) -> one row per sampled 'frame': every
-    frame_bytes-th slice becomes a frame payload (video frame sampling
-    plumbing; the codec would replace the slicing)."""
+    """(media_id, payload) -> one row per sampled frame.
+
+    AVI payloads are REAL video: the RIFF walker (codecs.avi_frame_spans)
+    yields the container's actual frame chunks, every `every`-th of which
+    becomes a row — for MJPEG AVIs each emitted frame is a complete JPEG,
+    so piping the output (frame renamed to payload) into decode_images
+    gives a fully real sample-then-decode video pipeline. Non-AVI payloads
+    keep the fixed-size byte slicing (plumbing stand-in for codecs this
+    environment lacks, e.g. H.264)."""
 
     def __init__(self, id_col: str = "media_id", payload_col: str = "payload",
                  frame_bytes: int = 4096, every: int = 4):
@@ -229,6 +237,14 @@ class FrameSampleStage:
         take, frame_idx, frames = [], [], []
         for i in range(len(batch)):
             payload = data[offsets[i] : offsets[i + 1]]
+            if codecs.sniff(payload) == "avi":
+                spans = codecs.avi_frame_spans(payload)
+                for j in range(0, len(spans), self.every):
+                    off, size = spans[j]
+                    take.append(i)
+                    frame_idx.append(j)
+                    frames.append(payload[off : off + size].tobytes())
+                continue
             n_frames = payload.shape[0] // self.frame_bytes
             for j in range(0, n_frames, self.every):
                 take.append(i)
