@@ -845,6 +845,33 @@ def q_dedup_ratio_sweep_fixed(sf_dir: str) -> pa.Table:
     )
 
 
+SUBSTR_GRAM_LEN = 24
+
+
+def q_substring_dup_spans(sf_dir: str) -> pa.Table:
+    """Exact cross-document duplicated-substring spans at BYTE granularity
+    (stride-1 rolling grams + interval merge — the position-level form of
+    the north rule's suffix-array substring dedup; the DuckDB oracle
+    compares raw L-char substrings, so parity also certifies the rolling
+    polynomial gram hash collision-free on this corpus)."""
+    from plakar_ray.pipelines.dedup import substring_dup_spans
+
+    out = (
+        substring_dup_spans(
+            _docs(sf_dir, ["doc_id", "text"]), gram_len=SUBSTR_GRAM_LEN
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "dup_spans": pa.array(out["dup_spans"], type=pa.int64()),
+            "dup_span_bytes": pa.array(out["dup_span_bytes"], type=pa.int64()),
+        }
+    )
+
+
 def q_cross_doc_dup_bytes_fixed(sf_dir: str) -> pa.Table:
     """Exact cross-document substring duplication, fixed 256-byte
     granularity (SQL-checkable twin of the CDC variant below)."""
@@ -931,6 +958,7 @@ def queries():
         "unique_chunk_store": q_unique_chunk_store,
         "cross_doc_dup_bytes_fixed": q_cross_doc_dup_bytes_fixed,
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
+        "substring_dup_spans": q_substring_dup_spans,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
     }
@@ -1395,6 +1423,43 @@ def oracle_sql():
             FROM e JOIN x USING (h)
             GROUP BY e.doc_id
             ORDER BY e.doc_id
+        """,
+        # Exact duplicated-substring spans >= L: a shared span is the union
+        # of its duplicated L-grams, so coverage = merged intervals
+        # [pos, pos+L) over positions whose gram occurs in >= 2 docs.
+        # Gaps-and-islands merge: a new island starts when the previous
+        # kept position is more than L away; each island covers exactly
+        # [min, max + L). Raw substrings here vs 64-bit rolling gram
+        # hashes in the pipeline — value parity certifies both semantics
+        # and hash collision-freeness.
+        "substring_dup_spans": f"""
+            WITH g AS (
+              SELECT d.doc_id, g.i::BIGINT AS pos,
+                     substr(d.text, (g.i + 1)::INT, {SUBSTR_GRAM_LEN}) AS gram
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(octet_length(d.text::BLOB) - {SUBSTR_GRAM_LEN} + 1)) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) >= {SUBSTR_GRAM_LEN}
+            ), x AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), p AS (
+              SELECT g.doc_id, g.pos,
+                     CASE WHEN g.pos - lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+                               <= {SUBSTR_GRAM_LEN}
+                          THEN 0 ELSE 1 END AS brk
+              FROM g JOIN x USING (gram)
+            ), s AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM p
+            ), spans AS (
+              SELECT doc_id, gid, max(pos) - min(pos) + {SUBSTR_GRAM_LEN} AS bytes
+              FROM s GROUP BY doc_id, gid
+            )
+            SELECT doc_id, count(*)::BIGINT AS dup_spans,
+                   sum(bytes)::BIGINT AS dup_span_bytes
+            FROM spans GROUP BY doc_id ORDER BY doc_id
         """,
         "length_histogram_fixed": f"""
             WITH e AS (

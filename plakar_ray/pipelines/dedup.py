@@ -518,6 +518,292 @@ def cross_doc_dup_bytes(
     )
 
 
+# ----------------------------------------- exact substring-span dedup -------
+
+_GRAM_MUL = np.uint64(0x9E3779B97F4A7C15)  # odd => invertible mod 2^64
+_GRAM_MUL_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def gram_window_hashes(data: np.ndarray, gram_len: int, tile: int = 1 << 22) -> np.ndarray:
+    """Polynomial rolling hash of EVERY `gram_len`-byte window of `data`
+    (uint8): H[p] = sum_{j<L} data[p+j] * MUL^(L-1-j) mod 2^64.
+
+    Vectorized O(n) via the prefix identity (multiply-add is linear mod
+    2^64, the same family as the gear window scan in kernels.py): with
+    S[i] = sum_{k<i} data[k] * MULINV^k, H[p] = (S[p+L] - S[p]) * MUL^(p+L-1).
+    Computed in overlapping tiles so working memory stays ~3 uint64 arrays
+    of `tile` elements regardless of input size; the MUL^p / MULINV^p
+    exponents cancel, so per-tile local exponents give identical values.
+    """
+    L = int(gram_len)
+    n = int(data.size)
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n - L + 1, dtype=np.uint64)
+    m = min(int(tile), n - L + 1) + L - 1
+    base = np.full(m, _GRAM_MUL, dtype=np.uint64)
+    base[0] = 1
+    mp = np.multiply.accumulate(base)  # MUL^0 .. MUL^(m-1), wrapping
+    basei = np.full(m, _GRAM_MUL_INV, dtype=np.uint64)
+    basei[0] = 1
+    mip = np.multiply.accumulate(basei)  # MULINV^0 ..
+    for t0 in range(0, n - L + 1, int(tile)):
+        t1 = min(t0 + int(tile), n - L + 1)  # window starts in [t0, t1)
+        seg = data[t0 : t1 - 1 + L].astype(np.uint64)
+        k = seg.size
+        seg *= mip[:k]
+        s = np.cumsum(seg, dtype=np.uint64)
+        h = s[L - 1 :].copy()
+        h[1:] -= s[: k - L]
+        h *= mp[L - 1 : k]
+        out[t0:t1] = h
+    return out
+
+
+def _winnow_select(h: np.ndarray, valid: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection (Schleimer et al., SIGMOD 2003): from each
+    document's run of `valid[i]` consecutive gram hashes in `h`, keep the
+    leftmost minimal hash of every `w`-window. Selection depends only on
+    content, so two documents sharing a span select the same intra-span
+    positions — any shared span of length >= L + w - 1 keeps at least one
+    selected gram in BOTH documents. Returns sorted global indices."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    picks = []
+    start = 0
+    for v in valid:
+        v = int(v)
+        if v == 0:
+            continue
+        seg = h[start : start + v]
+        if v <= w:
+            picks.append(np.array([start + int(np.argmin(seg))], dtype=np.int64))
+        else:
+            win = sliding_window_view(seg, w)
+            sel = np.unique(win.argmin(axis=1) + np.arange(v - w + 1, dtype=np.int64))
+            picks.append(start + sel)
+        start += v
+    if not picks:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(picks)
+
+
+def _gram_rows_batch(
+    batch: pa.Table, gram_len: int, id_col: str, text_col: str, winnow_w: int
+) -> pa.Table:
+    """One (gram64, id, pos) row per L-byte window position (stride 1), or
+    per winnowing-selected position when winnow_w > 1."""
+    L = int(gram_len)
+    empty = pa.table(
+        {
+            "gram64": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    data, offsets = byte_views(batch.column(text_col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    valid = np.maximum(lens - L + 1, 0)
+    total = int(valid.sum())
+    if total == 0:
+        return empty
+    h_all = gram_window_hashes(data, L)
+    doc_idx = np.repeat(np.arange(lens.size), valid)
+    run_start = np.cumsum(valid) - valid
+    local = np.arange(total, dtype=np.int64) - np.repeat(run_start, valid)
+    gpos = offsets[:-1][doc_idx] + local
+    h = h_all[gpos]
+    if winnow_w > 1:
+        sel = _winnow_select(h, valid, winnow_w)
+        h, doc_idx, local = h[sel], doc_idx[sel], local[sel]
+    return pa.table(
+        {
+            "gram64": pa.array(h, type=pa.uint64()),
+            id_col: pa.array(ids[doc_idx], type=pa.int64()),
+            "pos": pa.array(local, type=pa.int64()),
+        }
+    )
+
+
+def _cross_doc_positions(batch: pa.Table, id_col: str) -> pa.Table:
+    """One hash partition holds every row of each of its gram hashes: keep
+    the (id, pos) rows whose gram spans >= 2 distinct documents."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    g = batch.column("gram64").to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    pos = batch.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, g))
+    g, ids, pos = g[order], ids[order], pos[order]
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = g[1:] != g[:-1]
+    newd = newg.copy()
+    newd[1:] |= ids[1:] != ids[:-1]
+    gstart = np.flatnonzero(newg)
+    distinct = np.add.reduceat(newd.astype(np.int64), gstart)
+    keep_group = distinct >= 2
+    if not keep_group.any():
+        return empty
+    gsize = np.diff(np.append(gstart, n))
+    keep = np.repeat(keep_group, gsize)
+    return pa.table(
+        {
+            id_col: pa.array(ids[keep], type=pa.int64()),
+            "pos": pa.array(pos[keep], type=pa.int64()),
+        }
+    )
+
+
+def _merge_span_batch(batch: pa.Table, merge_gap: int, span_len: int, id_col: str) -> pa.Table:
+    """Per document (one hash partition holds all of a doc's rows): sort the
+    duplicated-gram positions, merge intervals [p, p+L) whose starts are
+    <= merge_gap apart, emit (id, dup_spans, dup_span_bytes). Positions at
+    most L apart have overlapping-or-touching intervals, so each merged
+    group covers exactly [min, max + L) — last - first + L bytes."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "dup_spans": pa.array([], type=pa.int64()),
+            "dup_span_bytes": pa.array([], type=pa.int64()),
+        }
+    )
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    pos = batch.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, ids))
+    ids, pos = ids[order], pos[order]
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > merge_gap)
+    sstart = np.flatnonzero(brk)  # one per merged span
+    send = np.append(sstart[1:], n) - 1
+    span_bytes = pos[send] - pos[sstart] + span_len
+    span_doc = ids[sstart]
+    newdoc = np.empty(sstart.size, dtype=bool)
+    newdoc[0] = True
+    newdoc[1:] = span_doc[1:] != span_doc[:-1]
+    dstart = np.flatnonzero(newdoc)
+    return pa.table(
+        {
+            id_col: pa.array(span_doc[dstart], type=pa.int64()),
+            "dup_spans": pa.array(
+                np.diff(np.append(dstart, sstart.size)), type=pa.int64()
+            ),
+            "dup_span_bytes": pa.array(
+                np.add.reduceat(span_bytes, dstart), type=pa.int64()
+            ),
+        }
+    )
+
+
+def substring_dup_spans(
+    ds,
+    gram_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    winnow_w: int = 0,
+    local_threshold: int = 2_000_000,
+    batch_size: int | None = None,
+):
+    """Cross-document duplicated-SUBSTRING spans at byte granularity — the
+    position-level realization of the north rule's suffix-array substring
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"). A maximal substring of length >= L shared verbatim by
+    two documents is exactly the union of its duplicated L-byte grams, so
+    stride-1 rolling-gram matching + per-document interval merge computes
+    the merged byte coverage of every cross-document duplicated span >= L
+    with no suffix array — and unlike one, it is a pure two-exchange
+    shuffle plan (gram-keyed, then doc-keyed), the shape that scales.
+
+    Returns a Dataset (id, dup_spans, dup_span_bytes) over documents that
+    carry at least one duplicated span. Exact at winnow_w=0 (default):
+    every position whose L-gram occurs in another document is covered.
+
+    Scale path: stride-1 emission shuffles one 24-byte row per corpus byte.
+    `winnow_w=w` (Schleimer et al. 2003 winnowing) cuts emission ~w/2-fold
+    while still detecting every shared span >= L + w - 1 (selection is
+    content-defined, so both copies select the same intra-span grams);
+    span-byte totals then under-count span edges by < L + w bytes per span
+    — a documented lower bound, tested for recall. The CDC-granularity
+    sibling `cross_doc_dup_bytes` stays the coarse whole-corpus pass; this
+    operator is the fine-grained measure (run corpus-wide at 100 TB with
+    winnowing, or exact over suspect partitions)."""
+    from ray.data.context import ShuffleStrategy
+
+    import ray
+    import ray.data
+
+    L = int(gram_len)
+    merge_gap = L + max(0, int(winnow_w) - 1)
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_part = max(8, cpus // 4)
+
+    grams = ds.map_batches(
+        lambda b: _gram_rows_batch(b, L, id_col, text_col, int(winnow_w)),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    grams = grams.materialize()
+    if local_threshold and grams.count() <= local_threshold:
+        tables = [
+            b
+            for b in grams.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        merged = (
+            pa.concat_tables(tables)
+            if tables
+            else pa.table(
+                {
+                    "gram64": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        return ray.data.from_arrow(
+            _merge_span_batch(
+                _cross_doc_positions(merged, id_col), merge_gap, L, id_col
+            )
+        )
+
+    grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    dup_pos = grams.repartition(n_part, keys=["gram64"], sort=False).map_batches(
+        lambda b: _cross_doc_positions(b, id_col),
+        batch_size=None,  # batch == block == one complete hash partition
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dup_pos.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return dup_pos.repartition(
+        max(4, n_part // 2), keys=[id_col], sort=False
+    ).map_batches(
+        lambda b: _merge_span_batch(b, merge_gap, L, id_col),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ----------------------------------------------------------------- resync ---
 
 

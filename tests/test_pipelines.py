@@ -695,3 +695,137 @@ def test_array_unionfind_matches_dict_and_is_fast(ray_session):
     wall = time.time() - t0
     assert len(comp) > 0
     assert wall < 10.0, f"2M-edge driver CC took {wall:.1f}s"
+
+
+# ------------------------------------------- substring-span dedup tests ---
+
+
+def _bruteforce_span_cov(texts: list[bytes], L: int) -> dict[int, tuple[int, int]]:
+    """(dup_spans, dup_span_bytes) per doc via literal gram sets — the
+    independent specification the two-exchange pipeline must match."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for d, t in enumerate(texts):
+        for p in range(len(t) - L + 1):
+            gram_docs[t[p : p + L]].add(d)
+    out = {}
+    for d, t in enumerate(texts):
+        cov = np.zeros(len(t), dtype=bool)
+        for p in range(len(t) - L + 1):
+            if len(gram_docs[t[p : p + L]]) >= 2:
+                cov[p : p + L] = True
+        b = int(cov.sum())
+        spans = int(np.sum(np.diff(np.concatenate([[0], cov.astype(np.int64)])) == 1))
+        if b:
+            out[d] = (spans, b)
+    return out
+
+
+def _span_fixture() -> tuple[pa.Table, list[bytes]]:
+    def rand_text(n, seed):
+        r = np.random.default_rng(seed)
+        return "".join(chr(97 + c) for c in r.integers(0, 26, n))
+
+    shared_a = rand_text(900, 42)
+    shared_b = rand_text(200, 43)
+    texts = [
+        rand_text(500, 1) + shared_a + rand_text(300, 2),
+        rand_text(137, 3) + shared_a + rand_text(50, 4) + shared_b,  # unaligned
+        shared_b + rand_text(700, 5),
+        rand_text(1500, 6),  # unique
+        "",  # empty
+        "tiny",  # shorter than L
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    return table, [t.encode() for t in texts]
+
+
+def test_gram_window_hashes_tiling_and_values():
+    """Tiled O(n) prefix evaluation == direct polynomial evaluation, and is
+    tile-size independent (the MUL^p exponents cancel per tile)."""
+    from plakar_ray.pipelines.dedup import gram_window_hashes
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, 4096, dtype=np.uint8)
+    L = 24
+    h1 = gram_window_hashes(data, L, tile=257)
+    h2 = gram_window_hashes(data, L, tile=1 << 22)
+    assert np.array_equal(h1, h2)
+    M = 0x9E3779B97F4A7C15
+    for p in [0, 1, 256, 257, 2000, data.size - L]:
+        acc = 0
+        for j in range(L):
+            acc = (acc * M + int(data[p + j])) % (1 << 64)
+        assert int(h1[p]) == acc
+
+
+def test_substring_dup_spans_exact_vs_bruteforce(ray_session):
+    """Exact mode: per-doc merged span coverage equals the literal gram-set
+    oracle, including unaligned offsets, adjacent spans, unique docs and
+    sub-L/empty docs (absent from the output)."""
+    from plakar_ray.pipelines.dedup import substring_dup_spans
+
+    table, texts = _span_fixture()
+    L = 32
+    out = (
+        substring_dup_spans(_ds(table), gram_len=L)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = {
+        int(r.doc_id): (int(r.dup_spans), int(r.dup_span_bytes))
+        for r in out.itertuples()
+    }
+    assert got == _bruteforce_span_cov(texts, L)
+
+
+def test_substring_dup_spans_distributed_equals_local(ray_session):
+    """local_threshold=0 forces both hash-partition exchanges; results must
+    be identical to the driver-local fast path."""
+    from plakar_ray.pipelines.dedup import substring_dup_spans
+
+    table, _ = _span_fixture()
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    loc = norm(substring_dup_spans(_ds(table), gram_len=32))
+    dist = norm(substring_dup_spans(_ds(table), gram_len=32, local_threshold=0))
+    assert loc.equals(dist)
+
+
+def test_substring_dup_spans_winnow_recall(ray_session):
+    """Winnowed scale path: every doc pair sharing a span >= L + w - 1 is
+    still detected (content-defined selection picks the same intra-span
+    grams in both copies), and reported bytes never exceed the exact
+    coverage."""
+    from plakar_ray.pipelines.dedup import substring_dup_spans
+
+    table, texts = _span_fixture()
+    L, w = 32, 8
+    exact = _bruteforce_span_cov(texts, L)
+    out = (
+        substring_dup_spans(_ds(table), gram_len=L, winnow_w=w)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = {
+        int(r.doc_id): (int(r.dup_spans), int(r.dup_span_bytes))
+        for r in out.itertuples()
+    }
+    # fixture spans (900 and 200 bytes) are all >= L + w - 1 = 39: every
+    # doc carrying a duplicated span must still be reported
+    assert set(got) == set(exact)
+    for d, (spans, bts) in got.items():
+        assert bts <= exact[d][1]
+        assert spans >= 1
