@@ -284,6 +284,7 @@ def bench_queries(sf_dir: str) -> dict:
         "embedding_topk",
         "embedding_ivf_topk",
         "cross_doc_dup_bytes",
+        "substring_dup_spans",
         "doc_quality",
         "lang_id",
         # evidence-twin guard (VERDICT r2 #9): the md5 verification path

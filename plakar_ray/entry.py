@@ -872,6 +872,31 @@ def q_substring_dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def q_substring_dup_spans_winnow(sf_dir: str) -> pa.Table:
+    """Winnowed scale path of substring_dup_spans (rows-only: winnowing
+    selection has no tractable SQL analogue; its exact sibling above is the
+    fully value-checked twin, and pytest gates recall of every shared span
+    >= L + w - 1 plus the lower-bound property of the byte counts)."""
+    from plakar_ray.pipelines.dedup import substring_dup_spans
+
+    out = (
+        substring_dup_spans(
+            _docs(sf_dir, ["doc_id", "text"]),
+            gram_len=SUBSTR_GRAM_LEN,
+            winnow_w=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "dup_spans": pa.array(out["dup_spans"], type=pa.int64()),
+            "dup_span_bytes": pa.array(out["dup_span_bytes"], type=pa.int64()),
+        }
+    )
+
+
 def q_cross_doc_dup_bytes_fixed(sf_dir: str) -> pa.Table:
     """Exact cross-document substring duplication, fixed 256-byte
     granularity (SQL-checkable twin of the CDC variant below)."""
@@ -959,6 +984,7 @@ def queries():
         "cross_doc_dup_bytes_fixed": q_cross_doc_dup_bytes_fixed,
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
     }
