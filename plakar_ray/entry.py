@@ -897,6 +897,18 @@ def q_substring_dup_spans_winnow(sf_dir: str) -> pa.Table:
     )
 
 
+def q_url_snapshot_dedup(sf_dir: str) -> pa.Table:
+    """Crawl URL canonicalization + snapshot dedup: deterministic messy
+    URLs (mixed-case host, :443, utm params, fragments, trailing slash)
+    over re-crawled resources; per canonical URL, snapshot count + newest
+    warc_ts. The Arrow kernel and the DuckDB oracle apply the SAME ordered
+    RE2 rewrite rules (pipelines/pages.py:URL_CANON_RULES)."""
+    from plakar_ray.pipelines.pages import url_snapshot_dedup
+    from plakar_ray.sources.pages import messy_url_pages
+
+    return url_snapshot_dedup(messy_url_pages(sf_dir))
+
+
 def q_cross_doc_dup_bytes_fixed(sf_dir: str) -> pa.Table:
     """Exact cross-document substring duplication, fixed 256-byte
     granularity (SQL-checkable twin of the CDC variant below)."""
@@ -985,6 +997,7 @@ def queries():
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
+        "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
     }
@@ -1449,6 +1462,47 @@ def oracle_sql():
             FROM e JOIN x USING (h)
             GROUP BY e.doc_id
             ORDER BY e.doc_id
+        """,
+        # Same raw-URL construction (integer CASE over doc_id) and the SAME
+        # ordered RE2 rewrite chain as pipelines/pages.py:URL_CANON_RULES
+        # (DuckDB regexp_replace is RE2 too): fragment, lowercase
+        # scheme+host, default https port, utm params, '&'->'?' fix-up,
+        # trailing slash. Then snapshot consolidation per canonical URL.
+        "url_snapshot_dedup": r"""
+            WITH raw AS (
+              SELECT printf('https://%s/%08d%s',
+                       CASE doc_id % 3 WHEN 0 THEN 'Docs.Example'
+                                       WHEN 1 THEN 'docs.example:443'
+                                       ELSE 'docs.example' END,
+                       doc_id // 7,
+                       CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed'
+                                       WHEN 1 THEN '#section-2'
+                                       WHEN 2 THEN '/'
+                                       WHEN 3 THEN '?q=1&utm_campaign=x'
+                                       ELSE '' END) AS u,
+                     make_timestamp(1600000000000000 + doc_id * 1000000) AS warc_ts
+              FROM documents
+            ), c1 AS (
+              SELECT regexp_replace(u, '#.*$', '') AS u, warc_ts FROM raw
+            ), c2 AS (
+              SELECT lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                     || regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS u,
+                     warc_ts FROM c1
+            ), c3 AS (
+              SELECT regexp_replace(u, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS u,
+                     warc_ts FROM c2
+            ), c4 AS (
+              SELECT regexp_replace(u, '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u,
+                     warc_ts FROM c3
+            ), c5 AS (
+              SELECT regexp_replace(u, '^([^?&]*)&', '\1?') AS u, warc_ts FROM c4
+            ), c6 AS (
+              SELECT regexp_replace(u, '([^/])/$', '\1') AS canonical_url,
+                     warc_ts FROM c5
+            )
+            SELECT canonical_url, count(*)::BIGINT AS n_snapshots,
+                   max(warc_ts) AS latest_ts
+            FROM c6 GROUP BY canonical_url ORDER BY canonical_url
         """,
         # Exact duplicated-substring spans >= L: a shared span is the union
         # of its duplicated L-grams, so coverage = merged intervals

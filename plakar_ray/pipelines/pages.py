@@ -112,3 +112,118 @@ def page_near_dup_clusters(
             "cluster_url": pa.array(cluster_urls),
         }
     ).sort_by("url")
+
+
+# ------------------------------------------------- URL canonicalization ---
+
+# Ordered RE2 rewrite rules shared by the vectorized Arrow kernel below and
+# (verbatim, via DuckDB regexp_replace which is also RE2) the SQL oracle.
+# Order matters: fragments go before param stripping, the '&'->'?' fix-up
+# runs after tracking params are removed, trailing slash last.
+URL_CANON_RULES: list[tuple[str, str]] = [
+    (r"#.*$", ""),  # drop fragment
+    (r"^(https://[^/?#:]*):443([/?#].*)?$", r"\1\2"),  # default https port
+    (r"[?&]utm_[a-z]+=[^&#]*", ""),  # tracking params (any position)
+    (r"^([^?&]*)&", r"\1?"),  # kept param left leading with '&'
+    (r"([^/])/$", r"\1"),  # trailing slash
+]
+
+_URL_HEAD_RE = r"^(?P<head>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+
+
+def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append `canonical_url`: scheme+host lowercased, default https port /
+    fragment / utm_* tracking params / trailing slash stripped. Entirely
+    pyarrow.compute RE2 kernels — no per-row Python."""
+    import pyarrow.compute as pc
+
+    u = batch.column(url_col)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    ex = pc.extract_regex(u, _URL_HEAD_RE)
+    u = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.struct_field(ex, "head")), pc.struct_field(ex, "rest"), ""
+    )
+    for pat, rep in URL_CANON_RULES:
+        u = pc.replace_substring_regex(u, pat, rep)
+    return batch.append_column("canonical_url", u)
+
+
+def url_snapshot_dedup(
+    ds,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    local_threshold: int = 1_000_000,
+) -> pa.Table:
+    """Crawl snapshot dedup: canonicalize URLs, then per canonical URL keep
+    the snapshot count and the newest `warc_ts` ("latest capture wins" — the
+    standard crawl-consolidation pass before content dedup). Map-side
+    partials (one row per canonical URL per block: count + max ts) make the
+    final merge a tiny key-space aggregate — count and max are associative,
+    so the exchange moves O(distinct urls), never O(pages)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "canonical_url": pa.array([], type=pa.string()),
+                    "n_snapshots": pa.array([], type=pa.int64()),
+                    "ts_us": pa.array([], type=pa.int64()),
+                }
+            )
+        c = canonicalize_url_batch(batch, url_col)
+        t = pa.table(
+            {
+                "canonical_url": c.column("canonical_url"),
+                "ts_us": c.column(ts_col).cast(pa.int64()),
+            }
+        )
+        g = t.group_by("canonical_url").aggregate(
+            [("ts_us", "count"), ("ts_us", "max")]
+        )
+        return pa.table(
+            {
+                "canonical_url": g.column("canonical_url"),
+                "n_snapshots": g.column("ts_us_count").cast(pa.int64()),
+                "ts_us": g.column("ts_us_max"),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if local_threshold and parts.count() <= local_threshold:
+        tables = [
+            b
+            for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        merged = pa.concat_tables(tables) if tables else partial(pa.table({}))
+        g = merged.group_by("canonical_url").aggregate(
+            [("n_snapshots", "sum"), ("ts_us", "max")]
+        )
+        out = pa.table(
+            {
+                "canonical_url": g.column("canonical_url"),
+                "n_snapshots": g.column("n_snapshots_sum"),
+                "latest_ts": g.column("ts_us_max").cast(pa.timestamp("us")),
+            }
+        )
+    else:
+        from ray.data.aggregate import Max, Sum
+
+        df = (
+            parts.groupby("canonical_url")
+            .aggregate(Sum("n_snapshots"), Max("ts_us"))
+            .to_pandas()
+        )
+        out = pa.table(
+            {
+                "canonical_url": pa.array(df["canonical_url"]),
+                "n_snapshots": pa.array(df["sum(n_snapshots)"], type=pa.int64()),
+                "latest_ts": pa.array(df["max(ts_us)"], type=pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+    return out.sort_by("canonical_url")

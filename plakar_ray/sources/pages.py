@@ -62,6 +62,36 @@ def pages_from_documents(sf_dir: str):
     )
 
 
+def _messy_urls_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic crawl-shaped URL mess over documents: groups of up to 7
+    doc_ids share a path (re-crawl snapshots of one resource), and each URL
+    carries one of five surface variations a canonicalizer must normalize —
+    mixed-case host, explicit default port, tracking params (alone or mixed
+    with a kept param), fragments, trailing slash. Pure integer-CASE
+    construction so a DuckDB oracle rebuilds the identical raw URLs."""
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = np.array(["Docs.Example", "docs.example:443", "docs.example"])
+    suffixes = np.array(["?utm_source=feed", "#section-2", "/", "?q=1&utm_campaign=x", ""])
+    url = pa.array(
+        [
+            f"https://{hosts[i % 3]}/{i // 7:08d}{suffixes[i % 5]}"
+            for i in doc_id.tolist()
+        ]
+    )
+    warc_ts = pa.array(
+        (EPOCH_US + doc_id * 1_000_000).astype("int64"), type=pa.int64()
+    ).cast(pa.timestamp("us"))
+    return pa.table({"url": url, "warc_ts": warc_ts})
+
+
+def messy_url_pages(sf_dir: str):
+    """(url, warc_ts) crawl-log slice with deterministic URL mess — the
+    input for URL canonicalization / snapshot dedup."""
+    return read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        _messy_urls_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ------------------------------------------------------------- fixtures ---
 
 _WORDS = (

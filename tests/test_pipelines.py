@@ -829,3 +829,45 @@ def test_substring_dup_spans_winnow_recall(ray_session):
     for d, (spans, bts) in got.items():
         assert bts <= exact[d][1]
         assert spans >= 1
+
+
+# ------------------------------------------------- URL canonicalization ---
+
+
+def test_canonicalize_url_rules():
+    """Edge cases the ordered rewrite chain must handle: mixed-case host
+    (path case preserved), default port, fragments, utm runs, utm followed
+    by a kept param (the '&'->'?' fix-up), trailing slash, and http URLs
+    untouched by the https-port rule."""
+    from plakar_ray.pipelines.pages import canonicalize_url_batch
+
+    cases = {
+        "https://Docs.Example/A/Path": "https://docs.example/A/Path",
+        "https://docs.example:443/x": "https://docs.example/x",
+        "http://docs.example:443/x": "http://docs.example:443/x",
+        "https://docs.example/x#frag": "https://docs.example/x",
+        "https://docs.example/x?utm_source=a&utm_campaign=b": "https://docs.example/x",
+        "https://docs.example/x?utm_source=a&q=1": "https://docs.example/x?q=1",
+        "https://docs.example/x?q=1&utm_campaign=b": "https://docs.example/x?q=1",
+        "https://docs.example/x/": "https://docs.example/x",
+        "https://docs.example/": "https://docs.example",
+        "https://docs.example/x?q=1": "https://docs.example/x?q=1",
+    }
+    t = pa.table({"url": pa.array(list(cases))})
+    out = canonicalize_url_batch(t).column("canonical_url").to_pylist()
+    assert out == list(cases.values())
+
+
+def test_url_snapshot_dedup_distributed_equals_local(ray_session):
+    """local_threshold=0 forces the Ray groupby merge; must equal the
+    driver-local Arrow merge, and counts must sum to the page count."""
+    import ray.data
+
+    from plakar_ray.pipelines.pages import url_snapshot_dedup
+    from plakar_ray.sources.pages import messy_url_pages
+
+    sf = "/root/testdata/sf0.001"
+    loc = url_snapshot_dedup(messy_url_pages(sf)).to_pandas()
+    dist = url_snapshot_dedup(messy_url_pages(sf), local_threshold=0).to_pandas()
+    assert loc.equals(dist)
+    assert int(loc["n_snapshots"].sum()) == 500
