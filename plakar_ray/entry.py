@@ -897,6 +897,31 @@ def q_substring_dup_spans_winnow(sf_dir: str) -> pa.Table:
     )
 
 
+def q_substring_dedup_clean(sf_dir: str) -> pa.Table:
+    """The substring-dedup TRANSFORM: remove all but the canonical
+    (lexicographically first) occurrence of every cross-document duplicated
+    span >= L; per-doc accounting + md5 of the cleaned text, value-checked
+    byte-exactly against DuckDB's string-splicing reconstruction."""
+    from plakar_ray.pipelines.dedup import substring_dedup_clean
+
+    out = (
+        substring_dedup_clean(
+            _docs(sf_dir, ["doc_id", "text"]), gram_len=SUBSTR_GRAM_LEN
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "removed_spans": pa.array(out["removed_spans"], type=pa.int64()),
+            "removed_bytes": pa.array(out["removed_bytes"], type=pa.int64()),
+            "kept_bytes": pa.array(out["kept_bytes"], type=pa.int64()),
+            "cleaned_md5": pa.array(out["cleaned_md5"]),
+        }
+    )
+
+
 def q_url_snapshot_dedup(sf_dir: str) -> pa.Table:
     """Crawl URL canonicalization + snapshot dedup: deterministic messy
     URLs (mixed-case host, :443, utm params, fragments, trailing slash)
@@ -997,6 +1022,7 @@ def queries():
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
+        "substring_dedup_clean": q_substring_dedup_clean,
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
@@ -1462,6 +1488,69 @@ def oracle_sql():
             FROM e JOIN x USING (h)
             GROUP BY e.doc_id
             ORDER BY e.doc_id
+        """,
+        # The substring-dedup TRANSFORM: non-owner occurrences (row_number
+        # > 1 over (doc_id, pos) per duplicated gram) -> gaps-and-islands
+        # interval merge -> kept segments = complement (piece before each
+        # interval + tail; whole text for untouched docs) -> cleaned text
+        # via ordered string_agg splice, md5-compared byte-exactly.
+        "substring_dedup_clean": f"""
+            WITH g AS (
+              SELECT d.doc_id, g.i::BIGINT AS pos,
+                     substr(d.text, (g.i + 1)::INT, {SUBSTR_GRAM_LEN}) AS gram
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(octet_length(d.text::BLOB) - {SUBSTR_GRAM_LEN} + 1)) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) >= {SUBSTR_GRAM_LEN}
+            ), x AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), r AS (
+              SELECT doc_id, pos FROM (
+                SELECT g.doc_id, g.pos,
+                       row_number() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn
+                FROM g JOIN x USING (gram)
+              ) WHERE rn > 1
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                               <= {SUBSTR_GRAM_LEN}
+                          THEN 0 ELSE 1 END AS brk
+              FROM r
+            ), grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM isl
+            ), iv AS (
+              SELECT doc_id, gid, min(pos) AS s, max(pos) + {SUBSTR_GRAM_LEN} AS e
+              FROM grp GROUP BY doc_id, gid
+            ), seg AS (
+              SELECT doc_id,
+                     coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+                     s AS ke
+              FROM iv
+              UNION ALL
+              SELECT iv.doc_id, max(iv.e), max(octet_length(d.text::BLOB))
+              FROM iv JOIN documents d USING (doc_id) GROUP BY iv.doc_id
+              UNION ALL
+              SELECT d.doc_id, 0, octet_length(d.text::BLOB)
+              FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM iv)
+            ), acct AS (
+              SELECT doc_id, count(*)::BIGINT AS removed_spans,
+                     sum(e - s)::BIGINT AS removed_bytes
+              FROM iv GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.removed_spans, 0)::BIGINT AS removed_spans,
+                   coalesce(a.removed_bytes, 0)::BIGINT AS removed_bytes,
+                   (octet_length(d.text::BLOB) - coalesce(a.removed_bytes, 0))::BIGINT AS kept_bytes,
+                   md5(string_agg(substr(d.text, (seg.ks + 1)::INT, (seg.ke - seg.ks)::INT),
+                                  '' ORDER BY seg.ks)) AS cleaned_md5
+            FROM documents d
+            JOIN seg ON seg.doc_id = d.doc_id
+            LEFT JOIN acct a ON a.doc_id = d.doc_id
+            GROUP BY d.doc_id, a.removed_spans, a.removed_bytes, octet_length(d.text::BLOB)
+            ORDER BY d.doc_id
         """,
         # Same raw-URL construction (integer CASE over doc_id) and the SAME
         # ordered RE2 rewrite chain as pipelines/pages.py:URL_CANON_RULES

@@ -804,6 +804,241 @@ def substring_dup_spans(
     )
 
 
+def _nonowner_positions(batch: pa.Table, id_col: str) -> pa.Table:
+    """Per gram group (one hash partition holds every occurrence): if the
+    gram spans >= 2 distinct documents, every occurrence EXCEPT the
+    lexicographically smallest (id, pos) — the canonical copy that
+    survives — is marked for removal."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    g = batch.column("gram64").to_numpy(zero_copy_only=False)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    pos = batch.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, ids, g))
+    g, ids, pos = g[order], ids[order], pos[order]
+    newg = np.empty(n, dtype=bool)
+    newg[0] = True
+    newg[1:] = g[1:] != g[:-1]
+    newd = newg.copy()
+    newd[1:] |= ids[1:] != ids[:-1]
+    gstart = np.flatnonzero(newg)
+    distinct = np.add.reduceat(newd.astype(np.int64), gstart)
+    gsize = np.diff(np.append(gstart, n))
+    dup_group = np.repeat(distinct >= 2, gsize)
+    dup_group[gstart] = False  # the owner (first row of its group) survives
+    if not dup_group.any():
+        return empty
+    return pa.table(
+        {
+            id_col: pa.array(ids[dup_group], type=pa.int64()),
+            "pos": pa.array(pos[dup_group], type=pa.int64()),
+        }
+    )
+
+
+def _clean_partition(
+    batch: pa.Table, span_len: int, id_col: str, text_col: str
+) -> pa.Table:
+    """One partition holds a set of documents (pos == -1 rows, carrying
+    text) plus every removal position of those documents. Builds the byte
+    coverage of the removal intervals [pos, pos+L) with one diff/cumsum
+    over the concatenated doc buffer, slices the kept bytes out in one
+    boolean gather, and emits per-doc accounting + md5 of the cleaned
+    text. Every document appears in the output (zero-removal docs keep
+    their full-text md5)."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "removed_spans": pa.array([], type=pa.int64()),
+            "removed_bytes": pa.array([], type=pa.int64()),
+            "kept_bytes": pa.array([], type=pa.int64()),
+            "cleaned_md5": pa.array([], type=pa.string()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    pos_all = batch.column("pos").to_numpy(zero_copy_only=False)
+    is_doc = pos_all == -1
+    docs = batch.filter(pa.array(is_doc))
+    if docs.num_rows == 0:
+        return empty
+    # documents, sorted by id for searchsorted routing of positions
+    did = docs.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(did, kind="stable")
+    docs = docs.take(pa.array(order))
+    did = did[order]
+    data, offsets = byte_views(docs.column(text_col))
+    total = int(offsets[-1])
+    rid = batch.column(id_col).to_numpy(zero_copy_only=False)[~is_doc]
+    rpos = pos_all[~is_doc]
+    cover = np.zeros(total, dtype=np.int64)
+    if rid.size:
+        idx = np.searchsorted(did, rid)
+        starts = offsets[:-1][idx] + rpos
+        ends = starts + span_len
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+        cover = np.cumsum(delta[:-1])
+    covered = cover > 0
+    # merged-span starts: covered positions whose predecessor (within the
+    # same doc) is uncovered
+    prev = np.empty(total, dtype=bool)
+    if total:
+        prev[0] = False
+        prev[1:] = covered[:-1]
+        prev[offsets[:-1][offsets[:-1] < total]] = False
+    span_start = covered & ~prev
+    nz = np.flatnonzero(offsets[:-1] < offsets[1:])  # non-empty docs
+    removed = np.zeros(did.size, dtype=np.int64)
+    spans = np.zeros(did.size, dtype=np.int64)
+    if nz.size:
+        removed[nz] = np.add.reduceat(covered.astype(np.int64), offsets[:-1][nz])
+        spans[nz] = np.add.reduceat(span_start.astype(np.int64), offsets[:-1][nz])
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    kept = lens - removed
+    kept_data = data[~covered]
+    kept_off = np.concatenate([[0], np.cumsum(kept)])
+    mv = memoryview(kept_data)
+    md5s = [
+        hashlib.md5(mv[kept_off[i] : kept_off[i + 1]]).hexdigest()
+        for i in range(did.size)
+    ]
+    return pa.table(
+        {
+            id_col: pa.array(did, type=pa.int64()),
+            "removed_spans": pa.array(spans, type=pa.int64()),
+            "removed_bytes": pa.array(removed, type=pa.int64()),
+            "kept_bytes": pa.array(kept, type=pa.int64()),
+            "cleaned_md5": pa.array(md5s),
+        }
+    )
+
+
+def substring_dedup_clean(
+    ds,
+    gram_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    local_threshold: int = 2_000_000,
+    batch_size: int | None = None,
+):
+    """The substring-dedup TRANSFORM (Lee et al. 2021): remove all but one
+    occurrence of every cross-document duplicated span >= L, keeping the
+    occurrence with the lexicographically smallest (id, pos) as canonical.
+    Returns per-document accounting plus the md5 of the cleaned text —
+    byte-exact evidence of what a cleaned-corpus writer would emit, in a
+    driver-checkable size (the cleaned corpus itself is just the kept-byte
+    gather in `_clean_partition`, one `write_parquet` away).
+
+    Plan: stride-1 gram rows -> gram-keyed hash-partition exchange
+    (per-gram owner election, non-owner positions out) -> TAGGED-UNION
+    co-shuffle: removal positions (pos >= 0) union document rows
+    (pos == -1, carrying text), one doc-keyed exchange co-locates each
+    document with all its removal positions -> vectorized coverage +
+    kept-byte gather. Three exchanges total, each hash-partitioned; no
+    joins, no driver materialization above the gate."""
+    from ray.data.context import ShuffleStrategy
+
+    import ray
+    import ray.data
+
+    L = int(gram_len)
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_part = max(8, cpus // 4)
+
+    ds = ds.materialize()  # consumed twice: gram rows + tagged doc rows
+
+    grams = ds.map_batches(
+        lambda b: _gram_rows_batch(b, L, id_col, text_col, 0),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "pos": pa.array(
+                    np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                text_col: batch.column(text_col),
+            }
+        )
+
+    def _tag_removals(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": batch.column("pos"),
+                text_col: pa.array([""] * batch.num_rows, type=pa.string()),
+            }
+        )
+
+    docs_tagged = ds.map_batches(
+        _tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    grams = grams.materialize()
+    if local_threshold and grams.count() <= local_threshold:
+        gtables = [
+            b
+            for b in grams.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        gm = (
+            pa.concat_tables(gtables)
+            if gtables
+            else pa.table(
+                {
+                    "gram64": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        removals = _tag_removals(_nonowner_positions(gm, id_col))
+        dtables = [
+            b
+            for b in docs_tagged.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        merged = pa.concat_tables([removals] + dtables, promote_options="default")
+        return ray.data.from_arrow(_clean_partition(merged, L, id_col, text_col))
+
+    grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    removals = (
+        grams.repartition(n_part, keys=["gram64"], sort=False)
+        .map_batches(
+            lambda b: _nonowner_positions(b, id_col),
+            batch_size=None,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(_tag_removals, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    both = removals.union(docs_tagged)
+    both.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return both.repartition(n_part, keys=[id_col], sort=False).map_batches(
+        lambda b: _clean_partition(b, L, id_col, text_col),
+        batch_size=None,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ----------------------------------------------------------------- resync ---
 
 

@@ -871,3 +871,77 @@ def test_url_snapshot_dedup_distributed_equals_local(ray_session):
     dist = url_snapshot_dedup(messy_url_pages(sf), local_threshold=0).to_pandas()
     assert loc.equals(dist)
     assert int(loc["n_snapshots"].sum()) == 500
+
+
+def test_substring_dedup_clean_transform(ray_session):
+    """All-but-one occurrence removal: the canonical (lexicographically
+    first) copy keeps its bytes, every other copy loses the span; md5s
+    equal a brute-force reconstruction; within-doc repeats of a cross-doc
+    span are removed too."""
+    import hashlib
+
+    from plakar_ray.pipelines.dedup import substring_dedup_clean
+
+    def rand_text(n, seed):
+        r = np.random.default_rng(seed)
+        return "".join(chr(97 + c) for c in r.integers(0, 26, n))
+
+    shared = rand_text(200, 42)
+    texts = [
+        rand_text(50, 1) + shared + rand_text(30, 2),  # owner (lowest id)
+        rand_text(13, 3) + shared + rand_text(5, 4),
+        shared + rand_text(70, 5) + shared,  # two in-doc copies, both lose
+        rand_text(150, 6),  # untouched
+        "",
+    ]
+    L = 16
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        substring_dedup_clean(_ds(table), gram_len=L)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(texts)  # every doc accounted for
+    # brute-force owner semantics
+    from collections import defaultdict
+
+    bt = [t.encode() for t in texts]
+    occ = defaultdict(list)
+    for d, t in enumerate(bt):
+        for p in range(len(t) - L + 1):
+            occ[t[p : p + L]].append((d, p))
+    for d, t in enumerate(bt):
+        cov = np.zeros(len(t), dtype=bool)
+        for g, lst in occ.items():
+            if len({x for x, _ in lst}) >= 2:
+                for dd, p in sorted(lst)[1:]:
+                    if dd == d:
+                        cov[p : p + L] = True
+        kept = bytes(np.frombuffer(t, dtype=np.uint8)[~cov]) if t else b""
+        row = out.iloc[d]
+        assert int(row.removed_bytes) == int(cov.sum())
+        assert int(row.kept_bytes) == len(t) - int(cov.sum())
+        assert row.cleaned_md5 == hashlib.md5(kept).hexdigest()
+    assert int(out.iloc[0].removed_bytes) == 0  # owner untouched
+    assert int(out.iloc[2].removed_spans) == 2  # both in-doc copies removed
+
+
+def test_substring_dedup_clean_distributed_equals_local(ray_session):
+    """local_threshold=0 forces the gram-keyed exchange AND the tagged-union
+    doc-keyed co-shuffle; results must equal the driver-local path."""
+    from plakar_ray.pipelines.dedup import substring_dedup_clean
+
+    table, _ = _span_fixture()
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    loc = norm(substring_dedup_clean(_ds(table), gram_len=32))
+    dist = norm(substring_dedup_clean(_ds(table), gram_len=32, local_threshold=0))
+    assert loc.equals(dist)
