@@ -73,6 +73,20 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", default="/tmp/plakar_plots")
     sp.add_argument("--algos", default="fastcdc,jc,ultracdc")
     sp.add_argument("--hist-algo", default="")
+    sp = sub.add_parser(
+        "substring",
+        help="exact duplicated-substring spans (measure) or the all-but-one"
+        " removal transform (clean; --out writes the cleaned corpus)",
+    )
+    common(sp)
+    sp.add_argument("--mode", choices=["measure", "clean"], default="measure")
+    sp.add_argument("--gram-len", type=int, default=32)
+    sp.add_argument("--winnow", type=int, default=0,
+                    help="winnowing window w (measure mode): ~w/2-fold less"
+                    " emission, detects spans >= gram_len + w - 1")
+    sp.add_argument("--out", default="",
+                    help="clean mode: write (id, cleaned_text, accounting)"
+                    " parquet here instead of printing accounting")
 
     args = p.parse_args(argv)
 
@@ -128,6 +142,30 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"wrote {t.num_rows} rows to {args.out}")
             else:
                 print(t.to_pandas().to_string(index=False))
+        elif args.cmd == "substring":
+            if args.mode == "measure":
+                from plakar_ray.pipelines.dedup import substring_dup_spans
+
+                t = substring_dup_spans(
+                    _read(args), gram_len=args.gram_len, winnow_w=args.winnow,
+                    id_col=args.id_col, text_col=args.text_col,
+                ).to_pandas().sort_values(args.id_col)
+                print(t.to_string(index=False))
+            else:
+                from plakar_ray.pipelines.dedup import substring_dedup_clean
+
+                ds = substring_dedup_clean(
+                    _read(args), gram_len=args.gram_len,
+                    id_col=args.id_col, text_col=args.text_col,
+                    emit_text=bool(args.out),
+                )
+                if args.out:
+                    ds.write_parquet(args.out)
+                    print(f"wrote cleaned corpus to {args.out}")
+                else:
+                    print(
+                        ds.to_pandas().sort_values(args.id_col).to_string(index=False)
+                    )
         elif args.cmd == "plot":
             from plakar_ray.pipelines.plots import render_figures
 

@@ -844,7 +844,8 @@ def _nonowner_positions(batch: pa.Table, id_col: str) -> pa.Table:
 
 
 def _clean_partition(
-    batch: pa.Table, span_len: int, id_col: str, text_col: str
+    batch: pa.Table, span_len: int, id_col: str, text_col: str,
+    emit_text: bool = False,
 ) -> pa.Table:
     """One partition holds a set of documents (pos == -1 rows, carrying
     text) plus every removal position of those documents. Builds the byte
@@ -853,15 +854,16 @@ def _clean_partition(
     boolean gather, and emits per-doc accounting + md5 of the cleaned
     text. Every document appears in the output (zero-removal docs keep
     their full-text md5)."""
-    empty = pa.table(
-        {
-            id_col: pa.array([], type=pa.int64()),
-            "removed_spans": pa.array([], type=pa.int64()),
-            "removed_bytes": pa.array([], type=pa.int64()),
-            "kept_bytes": pa.array([], type=pa.int64()),
-            "cleaned_md5": pa.array([], type=pa.string()),
-        }
-    )
+    cols = {
+        id_col: pa.array([], type=pa.int64()),
+        "removed_spans": pa.array([], type=pa.int64()),
+        "removed_bytes": pa.array([], type=pa.int64()),
+        "kept_bytes": pa.array([], type=pa.int64()),
+        "cleaned_md5": pa.array([], type=pa.string()),
+    }
+    if emit_text:
+        cols["cleaned_text"] = pa.array([], type=pa.large_string())
+    empty = pa.table(cols)
     if batch.num_rows == 0:
         return empty
     pos_all = batch.column("pos").to_numpy(zero_copy_only=False)
@@ -911,15 +913,23 @@ def _clean_partition(
         hashlib.md5(mv[kept_off[i] : kept_off[i + 1]]).hexdigest()
         for i in range(did.size)
     ]
-    return pa.table(
-        {
-            id_col: pa.array(did, type=pa.int64()),
-            "removed_spans": pa.array(spans, type=pa.int64()),
-            "removed_bytes": pa.array(removed, type=pa.int64()),
-            "kept_bytes": pa.array(kept, type=pa.int64()),
-            "cleaned_md5": pa.array(md5s),
-        }
-    )
+    cols = {
+        id_col: pa.array(did, type=pa.int64()),
+        "removed_spans": pa.array(spans, type=pa.int64()),
+        "removed_bytes": pa.array(removed, type=pa.int64()),
+        "kept_bytes": pa.array(kept, type=pa.int64()),
+        "cleaned_md5": pa.array(md5s),
+    }
+    if emit_text:
+        # kept bytes are already contiguous per doc: one zero-copy
+        # large_string assembly from (offsets, data)
+        cols["cleaned_text"] = pa.Array.from_buffers(
+            pa.large_string(),
+            did.size,
+            [None, pa.py_buffer(kept_off.astype(np.int64).tobytes()),
+             pa.py_buffer(kept_data.tobytes())],
+        )
+    return pa.table(cols)
 
 
 def substring_dedup_clean(
@@ -929,6 +939,7 @@ def substring_dedup_clean(
     text_col: str = "text",
     local_threshold: int = 2_000_000,
     batch_size: int | None = None,
+    emit_text: bool = False,
 ):
     """The substring-dedup TRANSFORM (Lee et al. 2021): remove all but one
     occurrence of every cross-document duplicated span >= L, keeping the
@@ -1016,7 +1027,9 @@ def substring_dedup_clean(
             if len(b)
         ]
         merged = pa.concat_tables([removals] + dtables, promote_options="default")
-        return ray.data.from_arrow(_clean_partition(merged, L, id_col, text_col))
+        return ray.data.from_arrow(
+            _clean_partition(merged, L, id_col, text_col, emit_text)
+        )
 
     grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     removals = (
@@ -1032,7 +1045,7 @@ def substring_dedup_clean(
     both = removals.union(docs_tagged)
     both.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     return both.repartition(n_part, keys=[id_col], sort=False).map_batches(
-        lambda b: _clean_partition(b, L, id_col, text_col),
+        lambda b: _clean_partition(b, L, id_col, text_col, emit_text),
         batch_size=None,
         batch_format="pyarrow",
         zero_copy_batch=True,

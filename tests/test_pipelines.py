@@ -945,3 +945,25 @@ def test_substring_dedup_clean_distributed_equals_local(ray_session):
     loc = norm(substring_dedup_clean(_ds(table), gram_len=32))
     dist = norm(substring_dedup_clean(_ds(table), gram_len=32, local_threshold=0))
     assert loc.equals(dist)
+
+
+def test_substring_dedup_clean_emit_text(ray_session):
+    """emit_text=True adds the cleaned corpus column; text re-hashes to
+    cleaned_md5 and its length equals kept_bytes (both paths)."""
+    import hashlib
+
+    from plakar_ray.pipelines.dedup import substring_dedup_clean
+
+    table, _ = _span_fixture()
+    for thr in (2_000_000, 0):
+        out = (
+            substring_dedup_clean(
+                _ds(table), gram_len=32, emit_text=True, local_threshold=thr
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert "cleaned_text" in out.columns
+        for r in out.itertuples():
+            assert hashlib.md5(r.cleaned_text.encode()).hexdigest() == r.cleaned_md5
+            assert len(r.cleaned_text.encode()) == r.kept_bytes
