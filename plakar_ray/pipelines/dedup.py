@@ -560,32 +560,49 @@ def gram_window_hashes(data: np.ndarray, gram_len: int, tile: int = 1 << 22) -> 
     return out
 
 
-def _winnow_select(h: np.ndarray, valid: np.ndarray, w: int) -> np.ndarray:
-    """Winnowing selection (Schleimer et al., SIGMOD 2003): from each
-    document's run of `valid[i]` consecutive gram hashes in `h`, keep the
-    leftmost minimal hash of every `w`-window. Selection depends only on
-    content, so two documents sharing a span select the same intra-span
-    positions — any shared span of length >= L + w - 1 keeps at least one
-    selected gram in BOTH documents. Returns sorted global indices."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    picks = []
-    start = 0
-    for v in valid:
-        v = int(v)
-        if v == 0:
-            continue
-        seg = h[start : start + v]
-        if v <= w:
-            picks.append(np.array([start + int(np.argmin(seg))], dtype=np.int64))
-        else:
-            win = sliding_window_view(seg, w)
-            sel = np.unique(win.argmin(axis=1) + np.arange(v - w + 1, dtype=np.int64))
-            picks.append(start + sel)
-        start += v
-    if not picks:
-        return np.empty(0, dtype=np.int64)
-    return np.concatenate(picks)
+def _window_argmin_select(seg: np.ndarray, w: int) -> np.ndarray:
+    """Leftmost argmin of every length-w sliding window of `seg`, deduped
+    and sorted — equals np.unique(sliding_window_view(seg, w).argmin(1) +
+    arange) but O(n) instead of O(n*w): van Herk / Gil-Werman two-level
+    block minima (per-block prefix and suffix running argmins; a window
+    spans one block suffix + the next block's prefix), with index
+    bookkeeping that preserves np.argmin's leftmost tie-breaking (prefix
+    updates on strict <, suffix right-to-left scan updates on <=, and the
+    suffix part wins value ties because its indices are smaller)."""
+    v = int(seg.size)
+    if v <= w:
+        return np.array([int(np.argmin(seg))], dtype=np.int64)
+    nw = v - w + 1
+    nb = (v + w - 1) // w
+    pad = nb * w - v
+    if pad:
+        vals = np.concatenate(
+            [seg, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=seg.dtype)]
+        )
+    else:
+        vals = seg
+    V = vals.reshape(nb, w)
+    col = np.arange(w, dtype=np.int64)
+    pv = np.minimum.accumulate(V, axis=1)
+    new = np.empty((nb, w), dtype=bool)
+    new[:, 0] = True
+    new[:, 1:] = V[:, 1:] < pv[:, :-1]
+    pi = np.maximum.accumulate(np.where(new, col[None, :], -1), axis=1)
+    Vr = V[:, ::-1]
+    svr = np.minimum.accumulate(Vr, axis=1)
+    newr = np.empty((nb, w), dtype=bool)
+    newr[:, 0] = True
+    newr[:, 1:] = Vr[:, 1:] <= svr[:, :-1]
+    sir = np.maximum.accumulate(np.where(newr, col[None, :], -1), axis=1)
+    base = (np.arange(nb, dtype=np.int64) * w)[:, None]
+    pvg = pv.reshape(-1)
+    pig = (pi + base).reshape(-1)
+    svg = svr[:, ::-1].reshape(-1)
+    sig = ((w - 1) - sir[:, ::-1] + base).reshape(-1)
+    k = np.arange(nw, dtype=np.int64)
+    j = k + w - 1
+    sel = np.where(svg[k] <= pvg[j], sig[k], pig[j])
+    return np.unique(sel)
 
 
 def _gram_rows_batch(
@@ -611,14 +628,42 @@ def _gram_rows_batch(
     if total == 0:
         return empty
     h_all = gram_window_hashes(data, L)
+    if winnow_w > 1:
+        # Winnowing selection (Schleimer et al., SIGMOD 2003): keep the
+        # leftmost minimal hash of every w-window of each document's gram
+        # sequence. Selection depends only on content, so two documents
+        # sharing a span select the same intra-span positions — any shared
+        # span of length >= L + w - 1 keeps a selected gram in BOTH docs.
+        # Selection runs per document over its CONTIGUOUS h_all slice (doc
+        # d's valid windows live at h_all[offsets[d] : offsets[d] +
+        # valid[d]]) and only selected rows are built — the winnow path
+        # never materializes position/index arrays of stride-1 size, so
+        # peak temporaries stay at ~1x the gram-hash array.
+        w = int(winnow_w)
+        hs, ds_, ps = [], [], []
+        for d in range(lens.size):
+            v = int(valid[d])
+            if v == 0:
+                continue
+            seg = h_all[offsets[d] : offsets[d] + v]
+            sel = _window_argmin_select(seg, w)
+            hs.append(seg[sel])
+            ds_.append(np.full(sel.size, ids[d], dtype=np.int64))
+            ps.append(sel)
+        if not hs:
+            return empty
+        return pa.table(
+            {
+                "gram64": pa.array(np.concatenate(hs), type=pa.uint64()),
+                id_col: pa.array(np.concatenate(ds_), type=pa.int64()),
+                "pos": pa.array(np.concatenate(ps), type=pa.int64()),
+            }
+        )
     doc_idx = np.repeat(np.arange(lens.size), valid)
     run_start = np.cumsum(valid) - valid
     local = np.arange(total, dtype=np.int64) - np.repeat(run_start, valid)
     gpos = offsets[:-1][doc_idx] + local
     h = h_all[gpos]
-    if winnow_w > 1:
-        sel = _winnow_select(h, valid, winnow_w)
-        h, doc_idx, local = h[sel], doc_idx[sel], local[sel]
     return pa.table(
         {
             "gram64": pa.array(h, type=pa.uint64()),
