@@ -541,23 +541,38 @@ def gram_window_hashes(data: np.ndarray, gram_len: int, tile: int = 1 << 22) -> 
         return np.empty(0, dtype=np.uint64)
     out = np.empty(n - L + 1, dtype=np.uint64)
     m = min(int(tile), n - L + 1) + L - 1
-    base = np.full(m, _GRAM_MUL, dtype=np.uint64)
-    base[0] = 1
-    mp = np.multiply.accumulate(base)  # MUL^0 .. MUL^(m-1), wrapping
-    basei = np.full(m, _GRAM_MUL_INV, dtype=np.uint64)
-    basei[0] = 1
-    mip = np.multiply.accumulate(basei)  # MULINV^0 ..
+    # Power tables are pure functions of m and the scratch is bounded by the
+    # tile size: cache both per process. A map task calling this per batch
+    # otherwise mmaps + munmaps ~130 MB of large numpy temporaries per call
+    # — on hosts where first-touch page faults are slow (ballooned VMs,
+    # this sandbox under neighbor load) that dominates the kernel itself.
+    cached = _GRAM_SCRATCH.get(m)
+    if cached is None:
+        base = np.full(m, _GRAM_MUL, dtype=np.uint64)
+        base[0] = 1
+        mp = np.multiply.accumulate(base)  # MUL^0 .. MUL^(m-1), wrapping
+        basei = np.full(m, _GRAM_MUL_INV, dtype=np.uint64)
+        basei[0] = 1
+        mip = np.multiply.accumulate(basei)  # MULINV^0 ..
+        scratch = np.empty(m, dtype=np.uint64)
+        _GRAM_SCRATCH.clear()  # one steady-state tile geometry per process
+        _GRAM_SCRATCH[m] = (mp, mip, scratch)
+    else:
+        mp, mip, scratch = cached
     for t0 in range(0, n - L + 1, int(tile)):
         t1 = min(t0 + int(tile), n - L + 1)  # window starts in [t0, t1)
-        seg = data[t0 : t1 - 1 + L].astype(np.uint64)
-        k = seg.size
-        seg *= mip[:k]
-        s = np.cumsum(seg, dtype=np.uint64)
-        h = s[L - 1 :].copy()
+        k = t1 - 1 + L - t0
+        s = scratch[:k]
+        np.multiply(data[t0 : t0 + k], mip[:k], out=s, casting="unsafe")
+        np.cumsum(s, out=s)
+        h = out[t0:t1]
+        h[:] = s[L - 1 :]
         h[1:] -= s[: k - L]
         h *= mp[L - 1 : k]
-        out[t0:t1] = h
     return out
+
+
+_GRAM_SCRATCH: dict = {}
 
 
 def _window_argmin_select(seg: np.ndarray, w: int) -> np.ndarray:
