@@ -46,6 +46,7 @@ _SIGNATURES = {
     "fnv1a64_segments": [_p_u8, _p_i64, _i64, _p_u64],
     "wfnv64_segments": [_p_u8, _p_i64, _i64, _p_u64],
     "minhash_minima": [_p_u64, _p_i64, _i64, _p_u64, _p_u64, _i64, _p_u64],
+    "winnow_select": [_p_u64, _i64, _i64, _p_i64, _p_i64],
 }
 
 _SHA_SRC = os.path.join(_DIR, "sha.c")
@@ -280,6 +281,21 @@ def minhash_minima(lib, shingles: np.ndarray, offsets: np.ndarray,
     lib.minhash_minima(shp, offs.ctypes.data_as(_p_i64), n_docs, ap, bp,
                        n_perm, out.ctypes.data_as(_p_u64))
     return out
+
+
+def winnow_select(lib, h: np.ndarray, w: int,
+                  out: np.ndarray, scratch: np.ndarray) -> np.ndarray:
+    """Leftmost argmin of every w-window of h, deduped+sorted (the winnow
+    selection of pipelines/dedup.py). `out` and `scratch` are caller-owned
+    int64 buffers of capacity >= h.size (reused across calls); returns a
+    COPY of the selected slice."""
+    if h.size == 0:
+        return np.empty(0, dtype=np.int64)
+    h, hp = _as_c(h, _p_u64)
+    n = lib.winnow_select(hp, h.shape[0], w,
+                          out.ctypes.data_as(_p_i64),
+                          scratch.ctypes.data_as(_p_i64))
+    return out[:n].copy()
 
 
 def stadia_doc(lib, data, opts, gear) -> np.ndarray:

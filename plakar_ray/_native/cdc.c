@@ -428,3 +428,46 @@ int64_t minhash_minima(const uint64_t *shingles, const int64_t *offsets,
     }
     return n_docs;
 }
+
+/* -------------------------------------------------- winnow select ------- */
+
+/* Winnowing selection (Schleimer et al. 2003): leftmost argmin of every
+ * length-w sliding window of h[0..v), deduplicated.  Monotonic min-deque;
+ * popping the back only on STRICT > keeps the oldest entry among equal
+ * values, so the front is the LEFTMOST minimum — identical tie-breaking
+ * to np.argmin and to _window_argmin_select in pipelines/dedup.py.  The
+ * leftmost-argmin sequence is non-decreasing as the window slides (any
+ * j < argmin_k still inside window k+1 has h[j] > h[argmin_k]), so
+ * dedup is a compare against the last emitted index.  `out` needs
+ * capacity v; `scratch` needs capacity v (deque ring).  Returns the
+ * number of selected indices (sorted ascending). */
+int64_t winnow_select(const uint64_t *h, int64_t v, int64_t w,
+                      int64_t *out, int64_t *scratch) {
+    if (v <= 0)
+        return 0;
+    if (v <= w) {
+        int64_t best = 0;
+        for (int64_t i = 1; i < v; i++)
+            if (h[i] < h[best])
+                best = i;
+        out[0] = best;
+        return 1;
+    }
+    int64_t *dq = scratch;
+    int64_t head = 0, tail = 0, n_out = 0, last = -1;
+    for (int64_t i = 0; i < v; i++) {
+        while (tail > head && h[dq[tail - 1]] > h[i])
+            tail--;
+        dq[tail++] = i;
+        int64_t k = i - w + 1;
+        if (k >= 0) {
+            while (dq[head] < k)
+                head++;
+            if (dq[head] != last) {
+                out[n_out++] = dq[head];
+                last = dq[head];
+            }
+        }
+    }
+    return n_out;
+}

@@ -654,14 +654,24 @@ def _gram_rows_batch(
         # valid[d]]) and only selected rows are built — the winnow path
         # never materializes position/index arrays of stride-1 size, so
         # peak temporaries stay at ~1x the gram-hash array.
+        from plakar_ray import _native
+
         w = int(winnow_w)
+        lib = _native.load()
+        if lib is not None and hasattr(lib, "winnow_select"):
+            cap = int(valid.max())
+            sel_buf = np.empty(cap, dtype=np.int64)
+            dq_buf = np.empty(cap, dtype=np.int64)
         hs, ds_, ps = [], [], []
         for d in range(lens.size):
             v = int(valid[d])
             if v == 0:
                 continue
             seg = h_all[offsets[d] : offsets[d] + v]
-            sel = _window_argmin_select(seg, w)
+            if lib is not None and hasattr(lib, "winnow_select"):
+                sel = _native.winnow_select(lib, seg, w, sel_buf, dq_buf)
+            else:
+                sel = _window_argmin_select(seg, w)
             hs.append(seg[sel])
             ds_.append(np.full(sel.size, ids[d], dtype=np.int64))
             ps.append(sel)

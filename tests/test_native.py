@@ -180,3 +180,31 @@ def test_reduceat_fixed_trailing_empty_segments():
 
     assert reduceat_fixed(np.empty((0, 2), np.int64),
                           np.array([0, 0, 0], np.int64)).tolist() == [[0, 0], [0, 0]]
+
+
+def test_native_winnow_select_differential():
+    """Native monotonic-deque winnow selection == the numpy block-minima
+    selection (and thus np.argmin leftmost tie-breaking), including
+    tie-heavy 2-value, constant and periodic inputs."""
+    import numpy as np
+
+    from plakar_ray import _native
+    from plakar_ray.pipelines.dedup import _window_argmin_select
+
+    lib = _native.load()
+    if lib is None or not hasattr(lib, "winnow_select"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(150):
+        v = int(rng.integers(1, 300))
+        w = int(rng.integers(2, 50))
+        hi = [2**63, 4, 2, 16][trial % 4]
+        seg = rng.integers(0, hi, v, dtype=np.uint64).astype(np.uint64)
+        out = np.empty(v, dtype=np.int64)
+        dq = np.empty(v, dtype=np.int64)
+        assert np.array_equal(
+            _native.winnow_select(lib, seg, w, out, dq),
+            _window_argmin_select(seg, w),
+        ), (trial, v, w, hi)
