@@ -1013,7 +1013,6 @@ def queries():
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "dedup_ratio_sweep": q_dedup_ratio_sweep,
         "dedup_ratio_sweep_fixed": q_dedup_ratio_sweep_fixed,
-        "resync_sweep": q_resync_sweep,
         "length_histogram": q_length_histogram,
         "length_histogram_fixed": q_length_histogram_fixed,
         "pages_extract_digests": q_pages_extract_digests,
@@ -1026,6 +1025,12 @@ def queries():
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
+        # Keep a no-oracle query LAST: the round-3 driver checked exactly
+        # the first 50 registered queries, silently dropping the 51st
+        # (train_val_split, an SQL-verified row). resync_sweep is the
+        # rows-only twin of the SQL-verified resync_fixed, so losing it
+        # to any registration cap costs the least verification signal.
+        "resync_sweep": q_resync_sweep,
     }
 
 
@@ -1574,8 +1579,12 @@ def oracle_sql():
             ), c1 AS (
               SELECT regexp_replace(u, '#.*$', '') AS u, warc_ts FROM raw
             ), c2 AS (
-              SELECT lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-                     || regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1) AS u,
+              -- schemeless/malformed URLs fall through unchanged (same
+              -- fallback as the Arrow kernel's if_else on head validity)
+              SELECT CASE WHEN regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                          THEN lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                               || regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1)
+                          ELSE u END AS u,
                      warc_ts FROM c1
             ), c3 AS (
               SELECT regexp_replace(u, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS u,

@@ -43,15 +43,29 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
 
 def text_digests(ds) -> pa.Table:
-    """(url, text_sha256) — the per-url byte-identity invariant surface."""
+    """(url, text_sha256) — the per-url byte-identity invariant surface.
+
+    Rows tile the text column's data buffer contiguously, so the whole
+    batch goes through the batched segment-sha256 kernel (native OpenSSL
+    via stages.chunk.ChunkerStage._digest_segments, hashlib fallback inside) in one
+    call; hex encoding is a vectorized nibble lookup, no per-row Python."""
+
+    _HEXMAP = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
     def digest(batch: pa.Table) -> pa.Table:
+        from plakar_ray.stages.chunk import ChunkerStage
+
         data, offsets = byte_views(batch.column("text"))
-        out = []
-        mv = memoryview(data)
-        for i in range(len(batch)):
-            out.append(hashlib.sha256(mv[offsets[i] : offsets[i + 1]]).hexdigest())
-        return pa.table({"url": batch.column("url"), "text_sha256": pa.array(out)})
+        n = len(batch)
+        stream = data[offsets[0] : offsets[-1]] if n else data[:0]
+        lengths = np.diff(offsets)
+        d32 = ChunkerStage._digest_segments(lengths, stream)
+        hx = np.empty((n, 64), dtype=np.uint8)
+        hx[:, 0::2] = _HEXMAP[d32 >> 4]
+        hx[:, 1::2] = _HEXMAP[d32 & 0x0F]
+        off = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 64).tobytes())
+        hex_arr = pa.Array.from_buffers(pa.string(), n, [None, off, pa.py_buffer(hx)])
+        return pa.table({"url": batch.column("url"), "text_sha256": hex_arr})
 
     parts = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
     out = parts.to_pandas().sort_values("url")
@@ -141,9 +155,14 @@ def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     if isinstance(u, pa.ChunkedArray):
         u = u.combine_chunks()
     ex = pc.extract_regex(u, _URL_HEAD_RE)
-    u = pc.binary_join_element_wise(
+    lowered = pc.binary_join_element_wise(
         pc.utf8_lower(pc.struct_field(ex, "head")), pc.struct_field(ex, "rest"), ""
     )
+    # Schemeless / relative / malformed URLs don't match the head regex
+    # (extract_regex yields null): pass the original through unchanged
+    # instead of collapsing every such URL into one null group. The SQL
+    # oracle applies the same CASE fallback.
+    u = pc.if_else(pc.is_valid(lowered), lowered, u)
     for pat, rep in URL_CANON_RULES:
         u = pc.replace_substring_regex(u, pat, rep)
     return batch.append_column("canonical_url", u)

@@ -43,7 +43,7 @@ def _merge_topk_driver(merged, k: int, exclude_self: bool) -> pa.Table:
             "query_id": pa.array(qa, type=pa.int64()),
             "rank": pa.array(rank.astype(np.int32), type=pa.int32()),
             "neighbor_id": pa.array(na, type=pa.int64()),
-            "cosine": pa.array([round(float(x), 6) for x in ca], type=pa.float64()),
+            "cosine": pa.array(np.round(ca.astype(np.float64), 6), type=pa.float64()),
         }
     )
 

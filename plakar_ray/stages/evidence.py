@@ -182,16 +182,16 @@ def simhash_md5_batch(
         )
     counts = np.fromiter((h.shape[0] for h in hash_runs), dtype=np.int64)
     hs = np.concatenate(hash_runs)
-    shifts = np.arange(64, dtype=np.uint64)
-    # ±1 per (token, bit), summed per doc-run in one reduceat.
-    signs = (((hs[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int8) * 2 - 1)
     starts = np.cumsum(counts) - counts
-    # dtype=int32 accumulates inside reduceat without materializing a full
-    # int32 copy of the (tokens, 64) sign matrix (4x that matrix's bytes).
-    sums = np.add.reduceat(signs, starts, axis=0, dtype=np.int32)
-    vals = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    counts_u = counts.astype(np.uint64)
+    # Per-bit-plane accumulation: majority(±1 signs) > 0 ⟺ 2*ones > count.
+    # Peak temporary is ONE (tokens,) plane, not the (tokens, 64) sign
+    # matrix the old reduceat materialized (ADVICE r3 #3); each plane op
+    # stays fully vectorized.
+    vals = np.zeros(len(out_ids), dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat((hs >> np.uint64(b)) & _U64(1), starts)
+        vals |= (np.uint64(2) * ones > counts_u).astype(np.uint64) << np.uint64(b)
     return pa.table(
         {
             id_col: pa.array(np.asarray(out_ids, dtype=np.int64)),

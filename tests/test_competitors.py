@@ -88,3 +88,20 @@ def test_buzhash_dedup_comparable_to_fastcdc():
     rb, rf = ratio("buzhash"), ratio("fastcdc")
     assert rb < 0.6 and rf < 0.6
     assert abs(rb - rf) < 0.12  # comparable resync quality at this config
+
+
+def test_extension_import_errors_surface():
+    """A broken extension module must raise its real ImportError, not be
+    swallowed into 'unknown algorithm' (VERDICT r3 item #5)."""
+    import pytest
+
+    from plakar_ray import registry
+
+    registry.EXTENSION_MODULES.append("plakar_ray._no_such_extension_module")
+    try:
+        with pytest.raises(ImportError):
+            registry.get_algorithm("definitely-not-registered")
+    finally:
+        registry.EXTENSION_MODULES.remove("plakar_ray._no_such_extension_module")
+    with pytest.raises(KeyError):
+        registry.get_algorithm("definitely-not-registered")

@@ -883,6 +883,11 @@ def test_canonicalize_url_rules():
         "https://docs.example/x/": "https://docs.example/x",
         "https://docs.example/": "https://docs.example",
         "https://docs.example/x?q=1": "https://docs.example/x?q=1",
+        # no scheme://host head: pass through (suffix rules still apply),
+        # never collapse into a shared null group (ADVICE r3)
+        "docs.example/x#frag": "docs.example/x",
+        "/relative/path/": "/relative/path",
+        "": "",
     }
     t = pa.table({"url": pa.array(list(cases))})
     out = canonicalize_url_batch(t).column("canonical_url").to_pylist()
