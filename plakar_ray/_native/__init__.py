@@ -47,6 +47,9 @@ _SIGNATURES = {
     "wfnv64_segments": [_p_u8, _p_i64, _i64, _p_u64],
     "minhash_minima": [_p_u64, _p_i64, _i64, _p_u64, _p_u64, _i64, _p_u64],
     "winnow_select": [_p_u64, _i64, _i64, _p_i64, _p_i64],
+    "gram_winnow_multi": [_p_u8, _p_i64, _i64, _i64, _i64, _u64, _i64,
+                          _p_u64, ctypes.POINTER(ctypes.c_int32), _p_i64,
+                          _p_i64, _p_u64],
 }
 
 _SHA_SRC = os.path.join(_DIR, "sha.c")
@@ -281,6 +284,49 @@ def minhash_minima(lib, shingles: np.ndarray, offsets: np.ndarray,
     lib.minhash_minima(shp, offs.ctypes.data_as(_p_i64), n_docs, ap, bp,
                        n_perm, out.ctypes.data_as(_p_u64))
     return out
+
+
+def gram_winnow_multi(lib, data: np.ndarray, offsets: np.ndarray,
+                      gram_len: int, winnow_w: int, mul: int):
+    """Fused rolling-gram hash + winnow selection over the doc segments
+    data[offsets[d]:offsets[d+1]] (one C pass per batch, no h_all array).
+    Returns (hash u64, doc_index int32, pos int64) arrays of the selected
+    windows; winnow_w <= 1 emits every stride-1 window."""
+    n_docs = offsets.shape[0] - 1
+    if n_docs <= 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int32), z
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens = offs[1:] - offs[:-1]
+    total = int(np.maximum(lens - gram_len + 1, 0).sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int32), z
+    data, dp = _doc_ptr(data)
+    op = offs.ctypes.data_as(_p_i64)
+    w = int(winnow_w)
+    # expected selections ~ 2v/(w+1); 3x headroom, exact-bound retry.
+    cap = total if w <= 1 else min(total, 6 * total // (w + 1) + 4 * n_docs + 1024)
+    ringsz = 1
+    while ringsz < max(w, 1) + 1:  # C uses a pow2 mask ring of >= w+1 slots
+        ringsz <<= 1
+    dq = np.empty(ringsz, dtype=np.int64)
+    ring = np.empty(ringsz, dtype=np.uint64)
+    while True:
+        out_h = np.empty(cap, dtype=np.uint64)
+        out_d = np.empty(cap, dtype=np.int32)
+        out_p = np.empty(cap, dtype=np.int64)
+        n = lib.gram_winnow_multi(
+            dp, op, n_docs, int(gram_len), w, _u64(int(mul)), cap,
+            out_h.ctypes.data_as(_p_u64),
+            out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_p.ctypes.data_as(_p_i64),
+            dq.ctypes.data_as(_p_i64),
+            ring.ctypes.data_as(_p_u64),
+        )
+        if n >= 0:
+            return out_h[:n], out_d[:n], out_p[:n]
+        cap = total  # exact stride-1 upper bound; cannot fail twice
 
 
 def winnow_select(lib, h: np.ndarray, w: int,

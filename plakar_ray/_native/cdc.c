@@ -471,3 +471,118 @@ int64_t winnow_select(const uint64_t *h, int64_t v, int64_t w,
     }
     return n_out;
 }
+
+/* --------------------------------------- fused gram hash + winnow ------- */
+
+/* Fused rolling polynomial gram hash + winnowing selection over the doc
+ * segments of one Arrow batch (pipelines/dedup.py winnow scale path).
+ *
+ * data + offsets[d] .. offsets[d+1] is document d's byte run (offsets are
+ * absolute into `data`, exactly Arrow's value_offsets).  For each doc with
+ * len >= L there are v = len-L+1 windows; window p's hash is
+ * H[p] = sum_{j<L} d[p+j] * mul^(L-1-j) (mod 2^64), identical to
+ * gram_window_hashes in pipelines/dedup.py, computed by Horner +
+ * rolling update (no h_all array ever materializes).  When w > 1 the
+ * winnow selection (leftmost argmin of every w-window, deduped — same
+ * monotonic deque + tie-breaking as winnow_select above) runs inline on a
+ * (w+1)-slot hash ring; when w <= 1 every window is emitted.
+ *
+ * Emits (hash, doc_index, doc-local pos) triples.  Returns rows written,
+ * or -1 the moment `cap` would be exceeded (caller re-calls with the
+ * exact stride-1 bound).  dq/ring need capacity w+1 (w >= 2) each. */
+int64_t gram_winnow_multi(const uint8_t *data, const int64_t *offsets,
+                          int64_t n_docs, int64_t L, int64_t w, uint64_t mul,
+                          int64_t cap, uint64_t *out_hash, int32_t *out_doc,
+                          int64_t *out_pos, int64_t *dq, uint64_t *ring) {
+    uint64_t mulp = 1; /* mul^(L-1) mod 2^64 */
+    for (int64_t j = 0; j + 1 < L; j++)
+        mulp *= mul;
+    int64_t n_out = 0;
+    for (int64_t d = 0; d < n_docs; d++) {
+        const uint8_t *p = data + offsets[d];
+        int64_t len = offsets[d + 1] - offsets[d];
+        if (len < L)
+            continue;
+        int64_t v = len - L + 1;
+        uint64_t h = 0;
+        for (int64_t j = 0; j < L; j++)
+            h = h * mul + (uint64_t)p[j];
+        if (w <= 1) { /* stride-1: emit every window */
+            if (n_out + v > cap)
+                return -1;
+            for (int64_t i = 0; i < v; i++) {
+                if (i > 0)
+                    h = (h - (uint64_t)p[i - 1] * mulp) * mul + (uint64_t)p[i + L - 1];
+                out_hash[n_out] = h;
+                out_doc[n_out] = (int32_t)d;
+                out_pos[n_out] = i;
+                n_out++;
+            }
+            continue;
+        }
+        if (v <= w) { /* one window of the whole segment: plain argmin */
+            uint64_t best = h;
+            int64_t besti = 0;
+            for (int64_t i = 1; i < v; i++) {
+                h = (h - (uint64_t)p[i - 1] * mulp) * mul + (uint64_t)p[i + L - 1];
+                if (h < best) {
+                    best = h;
+                    besti = i;
+                }
+            }
+            if (n_out + 1 > cap)
+                return -1;
+            out_hash[n_out] = best;
+            out_doc[n_out] = (int32_t)d;
+            out_pos[n_out] = besti;
+            n_out++;
+            continue;
+        }
+        /* Classic winnowing scan (Schleimer Fig. 6 shape, leftmost-min
+         * tie-breaking): track the current window's leftmost argmin; when
+         * it slides out, rescan the (mask-indexed pow2) ring of the last
+         * w hashes left-to-right. One predictable compare per window,
+         * O(w) rescans amortized over >= the argmin's lifetime — measured
+         * ~2.5x the monotonic deque (whose dependent ring loads stall).
+         * dq is unused on this path (kept for ABI stability). */
+        int64_t mask = 1;
+        while (mask < w)
+            mask <<= 1;
+        mask -= 1;
+        (void)dq;
+        int64_t sel = 0, last = -1;
+        uint64_t selv = h;
+        ring[0] = h;
+        for (int64_t i = 0; i < v; i++) {
+            if (i > 0) {
+                h = (h - (uint64_t)p[i - 1] * mulp) * mul + (uint64_t)p[i + L - 1];
+                ring[i & mask] = h;
+                if (h < selv) { /* strict: equal keeps the older (leftmost) */
+                    sel = i;
+                    selv = h;
+                } else if (sel <= i - w) {
+                    /* argmin slid out: leftmost min of [i-w+1, i] */
+                    sel = i - w + 1;
+                    selv = ring[sel & mask];
+                    for (int64_t j = sel + 1; j <= i; j++) {
+                        uint64_t x = ring[j & mask];
+                        if (x < selv) {
+                            sel = j;
+                            selv = x;
+                        }
+                    }
+                }
+            }
+            if (i >= w - 1 && sel != last) {
+                if (n_out + 1 > cap)
+                    return -1;
+                out_hash[n_out] = selv;
+                out_doc[n_out] = (int32_t)d;
+                out_pos[n_out] = sel;
+                n_out++;
+                last = sel;
+            }
+        }
+    }
+    return n_out;
+}

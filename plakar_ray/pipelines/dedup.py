@@ -642,36 +642,44 @@ def _gram_rows_batch(
     total = int(valid.sum())
     if total == 0:
         return empty
-    h_all = gram_window_hashes(data, L)
     if winnow_w > 1:
         # Winnowing selection (Schleimer et al., SIGMOD 2003): keep the
         # leftmost minimal hash of every w-window of each document's gram
         # sequence. Selection depends only on content, so two documents
         # sharing a span select the same intra-span positions — any shared
         # span of length >= L + w - 1 keeps a selected gram in BOTH docs.
-        # Selection runs per document over its CONTIGUOUS h_all slice (doc
-        # d's valid windows live at h_all[offsets[d] : offsets[d] +
-        # valid[d]]) and only selected rows are built — the winnow path
-        # never materializes position/index arrays of stride-1 size, so
-        # peak temporaries stay at ~1x the gram-hash array.
+        # Deployment path: ONE fused native pass per batch (rolling gram
+        # hash + monotonic-deque selection over every doc segment,
+        # _native/cdc.c:gram_winnow_multi) — the stride-1 hash array never
+        # materializes at all; peak temporaries are the ~2/(w+1)-sized
+        # selected-row output. Fallback: numpy h_all + per-doc
+        # van Herk block-minima selection (differential-tested equal).
         from plakar_ray import _native
 
         w = int(winnow_w)
         lib = _native.load()
-        if lib is not None and hasattr(lib, "winnow_select"):
-            cap = int(valid.max())
-            sel_buf = np.empty(cap, dtype=np.int64)
-            dq_buf = np.empty(cap, dtype=np.int64)
+        if lib is not None and hasattr(lib, "gram_winnow_multi"):
+            h, doc_idx, pos = _native.gram_winnow_multi(
+                lib, data, offsets.astype(np.int64, copy=False), L, w,
+                int(_GRAM_MUL),
+            )
+            if h.size == 0:
+                return empty
+            return pa.table(
+                {
+                    "gram64": pa.array(h, type=pa.uint64()),
+                    id_col: pa.array(ids[doc_idx], type=pa.int64()),
+                    "pos": pa.array(pos, type=pa.int64()),
+                }
+            )
+        h_all = gram_window_hashes(data, L)
         hs, ds_, ps = [], [], []
         for d in range(lens.size):
             v = int(valid[d])
             if v == 0:
                 continue
             seg = h_all[offsets[d] : offsets[d] + v]
-            if lib is not None and hasattr(lib, "winnow_select"):
-                sel = _native.winnow_select(lib, seg, w, sel_buf, dq_buf)
-            else:
-                sel = _window_argmin_select(seg, w)
+            sel = _window_argmin_select(seg, w)
             hs.append(seg[sel])
             ds_.append(np.full(sel.size, ids[d], dtype=np.int64))
             ps.append(sel)
@@ -684,6 +692,7 @@ def _gram_rows_batch(
                 "pos": pa.array(np.concatenate(ps), type=pa.int64()),
             }
         )
+    h_all = gram_window_hashes(data, L)
     doc_idx = np.repeat(np.arange(lens.size), valid)
     run_start = np.cumsum(valid) - valid
     local = np.arange(total, dtype=np.int64) - np.repeat(run_start, valid)

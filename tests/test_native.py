@@ -208,3 +208,59 @@ def test_native_winnow_select_differential():
             _native.winnow_select(lib, seg, w, out, dq),
             _window_argmin_select(seg, w),
         ), (trial, v, w, hi)
+
+
+def test_native_gram_winnow_multi_differential():
+    """Fused rolling-gram-hash + winnow C kernel == the numpy fallback
+    (gram_window_hashes + _window_argmin_select per doc segment) on random,
+    constant (all-tie), periodic and planted-duplicate-span corpora, for
+    stride-1 (w<=1), small/large w, and w > v edge geometries."""
+    import numpy as np
+
+    from plakar_ray import _native
+    from plakar_ray.pipelines.dedup import (
+        _GRAM_MUL,
+        _window_argmin_select,
+        gram_window_hashes,
+    )
+
+    lib = _native.load()
+    if lib is None or not hasattr(lib, "gram_winnow_multi"):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(23)
+    for L, w in [(64, 32), (16, 8), (8, 1), (5, 4), (64, 200), (4, 2), (3, 7)]:
+        docs = []
+        for i in range(43):
+            n = int(rng.integers(0, 700))
+            if i % 6 == 0:
+                docs.append(np.full(n, 65, np.uint8))
+            elif i % 9 == 0:
+                docs.append(np.tile(np.array([65, 66], np.uint8), n // 2 + 1)[:n])
+            else:
+                docs.append(rng.integers(32, 127, n, dtype=np.uint8))
+        if docs[1].size > 250 and docs[3].size > 250:
+            docs[3][:250] = docs[1][:250]  # shared span across docs
+        data = np.concatenate(docs)
+        offs = np.zeros(len(docs) + 1, np.int64)
+        offs[1:] = np.cumsum([d.size for d in docs])
+        h_n, d_n, p_n = _native.gram_winnow_multi(lib, data, offs, L, w, int(_GRAM_MUL))
+        h_all = gram_window_hashes(data, L)
+        hs, ds_, ps = [], [], []
+        for d in range(len(docs)):
+            v = docs[d].size - L + 1
+            if v <= 0:
+                continue
+            seg = h_all[offs[d] : offs[d] + v]
+            sel = (
+                _window_argmin_select(seg, w)
+                if w > 1
+                else np.arange(v, dtype=np.int64)
+            )
+            hs.append(seg[sel])
+            ds_.append(np.full(sel.size, d, np.int32))
+            ps.append(sel)
+        assert np.array_equal(h_n, np.concatenate(hs)), (L, w, "hash")
+        assert np.array_equal(d_n, np.concatenate(ds_)), (L, w, "doc")
+        assert np.array_equal(p_n, np.concatenate(ps)), (L, w, "pos")
