@@ -522,9 +522,20 @@ def cross_doc_dup_bytes(
 
 _GRAM_MUL = np.uint64(0x9E3779B97F4A7C15)  # odd => invertible mod 2^64
 _GRAM_MUL_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+# Independent second multiplier (xxhash64 prime2 — a published constant):
+# the clean transform pairs both hashes into an effective 128-bit gram key
+# so a 64-bit collision can never delete non-duplicate text.
+_GRAM_MUL2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_GRAM_MUL2_INV = np.uint64(pow(0xC2B2AE3D27D4EB4F, -1, 1 << 64))
 
 
-def gram_window_hashes(data: np.ndarray, gram_len: int, tile: int = 1 << 22) -> np.ndarray:
+def gram_window_hashes(
+    data: np.ndarray,
+    gram_len: int,
+    tile: int = 1 << 22,
+    mul: np.uint64 = _GRAM_MUL,
+    mul_inv: np.uint64 = _GRAM_MUL_INV,
+) -> np.ndarray:
     """Polynomial rolling hash of EVERY `gram_len`-byte window of `data`
     (uint8): H[p] = sum_{j<L} data[p+j] * MUL^(L-1-j) mod 2^64.
 
@@ -546,17 +557,23 @@ def gram_window_hashes(data: np.ndarray, gram_len: int, tile: int = 1 << 22) -> 
     # otherwise mmaps + munmaps ~130 MB of large numpy temporaries per call
     # — on hosts where first-touch page faults are slow (ballooned VMs,
     # this sandbox under neighbor load) that dominates the kernel itself.
-    cached = _GRAM_SCRATCH.get(m)
+    key = (m, int(mul))
+    cached = _GRAM_SCRATCH.get(key)
     if cached is None:
-        base = np.full(m, _GRAM_MUL, dtype=np.uint64)
+        base = np.full(m, mul, dtype=np.uint64)
         base[0] = 1
         mp = np.multiply.accumulate(base)  # MUL^0 .. MUL^(m-1), wrapping
-        basei = np.full(m, _GRAM_MUL_INV, dtype=np.uint64)
+        basei = np.full(m, mul_inv, dtype=np.uint64)
         basei[0] = 1
         mip = np.multiply.accumulate(basei)  # MULINV^0 ..
         scratch = np.empty(m, dtype=np.uint64)
-        _GRAM_SCRATCH.clear()  # one steady-state tile geometry per process
-        _GRAM_SCRATCH[m] = (mp, mip, scratch)
+        # Small FIFO cache (ADVICE r3): alternating geometries (steady-state
+        # vs short-tail blocks, or the clean path's two multipliers) must
+        # not rebuild ~100 MB of power tables per call. Map tasks are
+        # processes, so no cross-thread sharing of `scratch`.
+        while len(_GRAM_SCRATCH) >= 3:
+            _GRAM_SCRATCH.pop(next(iter(_GRAM_SCRATCH)))
+        _GRAM_SCRATCH[key] = (mp, mip, scratch)
     else:
         mp, mip, scratch = cached
     for t0 in range(0, n - L + 1, int(tile)):
@@ -621,18 +638,22 @@ def _window_argmin_select(seg: np.ndarray, w: int) -> np.ndarray:
 
 
 def _gram_rows_batch(
-    batch: pa.Table, gram_len: int, id_col: str, text_col: str, winnow_w: int
+    batch: pa.Table, gram_len: int, id_col: str, text_col: str, winnow_w: int,
+    dual: bool = False,
 ) -> pa.Table:
     """One (gram64, id, pos) row per L-byte window position (stride 1), or
-    per winnowing-selected position when winnow_w > 1."""
+    per winnowing-selected position when winnow_w > 1. `dual=True`
+    (stride-1 only) appends an independent second hash column `gram64b`
+    so consumers can key on an effective 128-bit gram identity."""
     L = int(gram_len)
-    empty = pa.table(
-        {
-            "gram64": pa.array([], type=pa.uint64()),
-            id_col: pa.array([], type=pa.int64()),
-            "pos": pa.array([], type=pa.int64()),
-        }
-    )
+    ecols = {
+        "gram64": pa.array([], type=pa.uint64()),
+        id_col: pa.array([], type=pa.int64()),
+        "pos": pa.array([], type=pa.int64()),
+    }
+    if dual:
+        ecols["gram64b"] = pa.array([], type=pa.uint64())
+    empty = pa.table(ecols)
     if batch.num_rows == 0:
         return empty
     data, offsets = byte_views(batch.column(text_col))
@@ -698,13 +719,15 @@ def _gram_rows_batch(
     local = np.arange(total, dtype=np.int64) - np.repeat(run_start, valid)
     gpos = offsets[:-1][doc_idx] + local
     h = h_all[gpos]
-    return pa.table(
-        {
-            "gram64": pa.array(h, type=pa.uint64()),
-            id_col: pa.array(ids[doc_idx], type=pa.int64()),
-            "pos": pa.array(local, type=pa.int64()),
-        }
-    )
+    cols = {
+        "gram64": pa.array(h, type=pa.uint64()),
+        id_col: pa.array(ids[doc_idx], type=pa.int64()),
+        "pos": pa.array(local, type=pa.int64()),
+    }
+    if dual:
+        h2 = gram_window_hashes(data, L, mul=_GRAM_MUL2, mul_inv=_GRAM_MUL2_INV)
+        cols["gram64b"] = pa.array(h2[gpos], type=pa.uint64())
+    return pa.table(cols)
 
 
 def _cross_doc_positions(batch: pa.Table, id_col: str) -> pa.Table:
@@ -900,11 +923,23 @@ def _nonowner_positions(batch: pa.Table, id_col: str) -> pa.Table:
     g = batch.column("gram64").to_numpy(zero_copy_only=False)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     pos = batch.column("pos").to_numpy(zero_copy_only=False)
-    order = np.lexsort((pos, ids, g))
-    g, ids, pos = g[order], ids[order], pos[order]
-    newg = np.empty(n, dtype=bool)
-    newg[0] = True
-    newg[1:] = g[1:] != g[:-1]
+    if "gram64b" in batch.column_names:
+        # Effective 128-bit gram identity (ADVICE r3): a 64-bit collision
+        # must never elect an owner across non-identical grams. Both hash
+        # halves share the gram64 partition key, so pairing them here is
+        # exact.
+        g2 = batch.column("gram64b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids, g2, g))
+        g, g2, ids, pos = g[order], g2[order], ids[order], pos[order]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = (g[1:] != g[:-1]) | (g2[1:] != g2[:-1])
+    else:
+        order = np.lexsort((pos, ids, g))
+        g, ids, pos = g[order], ids[order], pos[order]
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = g[1:] != g[:-1]
     newd = newg.copy()
     newd[1:] |= ids[1:] != ids[:-1]
     gstart = np.flatnonzero(newg)
@@ -941,7 +976,7 @@ def _clean_partition(
         "cleaned_md5": pa.array([], type=pa.string()),
     }
     if emit_text:
-        cols["cleaned_text"] = pa.array([], type=pa.large_string())
+        cols["cleaned_text"] = pa.array([], type=pa.large_binary())
     empty = pa.table(cols)
     if batch.num_rows == 0:
         return empty
@@ -1001,9 +1036,12 @@ def _clean_partition(
     }
     if emit_text:
         # kept bytes are already contiguous per doc: one zero-copy
-        # large_string assembly from (offsets, data)
+        # large_binary assembly from (offsets, data). BINARY, not string:
+        # removal spans are byte-aligned and may split multibyte UTF-8
+        # codepoints (ADVICE r3) — emitting a string column would write
+        # invalid Arrow data on non-ASCII corpora.
         cols["cleaned_text"] = pa.Array.from_buffers(
-            pa.large_string(),
+            pa.large_binary(),
             did.size,
             [None, pa.py_buffer(kept_off.astype(np.int64).tobytes()),
              pa.py_buffer(kept_data.tobytes())],
@@ -1051,12 +1089,15 @@ def substring_dedup_clean(
     ds = ds.materialize()  # consumed twice: gram rows + tagged doc rows
 
     grams = ds.map_batches(
-        lambda b: _gram_rows_batch(b, L, id_col, text_col, 0),
+        lambda b: _gram_rows_batch(b, L, id_col, text_col, 0, dual=True),
         batch_size=batch_size,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
+    # One canonical text type on BOTH union sides: parquet readers commonly
+    # yield large_string, and the Ray union does not promote schemas the
+    # way the local concat_tables(promote_options=...) does.
     def _tag_docs(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -1064,7 +1105,7 @@ def substring_dedup_clean(
                 "pos": pa.array(
                     np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
                 ),
-                text_col: batch.column(text_col),
+                text_col: batch.column(text_col).cast(pa.large_string()),
             }
         )
 
@@ -1073,7 +1114,7 @@ def substring_dedup_clean(
             {
                 id_col: batch.column(id_col),
                 "pos": batch.column("pos"),
-                text_col: pa.array([""] * batch.num_rows, type=pa.string()),
+                text_col: pa.array([""] * batch.num_rows, type=pa.large_string()),
             }
         )
 
@@ -1096,6 +1137,7 @@ def substring_dedup_clean(
                     "gram64": pa.array([], type=pa.uint64()),
                     id_col: pa.array([], type=pa.int64()),
                     "pos": pa.array([], type=pa.int64()),
+                    "gram64b": pa.array([], type=pa.uint64()),
                 }
             )
         )

@@ -117,23 +117,53 @@ def hopping_window_counts(
 
 def asof_join(
     left_ds,
-    right: pa.Table,
+    right,
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_cols: tuple[str, ...] = ("value",),
     prefix: str = "asof_",
+    broadcast_threshold: int = 2_000_000,
 ) -> "object":
     """As-of join: for every left row, the right row with the largest
     ts' <= ts for the same key (None when no prior right row exists).
 
-    Ray Data has no join; the scale pattern here is broadcast-small-side:
-    the right table is grouped into per-key sorted timestamp arrays, shipped
-    once with ray.put, and each batch resolves matches with np.searchsorted.
-    (A large right side would instead co-shuffle both sides with
-    groupby(key).map_groups and merge per key.) Right-side ties on
-    (key, ts) must be pre-aggregated by the caller."""
+    Ray Data has no join; two scale shapes, gated on the right side's row
+    count (the `local_threshold` pattern used repo-wide):
+      * broadcast-small-side (right a pa.Table, or a Dataset at or under
+        `broadcast_threshold` rows): per-key sorted timestamp arrays are
+        shipped once with ray.put and each left batch resolves matches
+        with np.searchsorted — the left side never shuffles;
+      * co-shuffle (right a Dataset above the gate): both sides are
+        tagged, unioned and hash-partitioned by key, and each partition
+        resolves its keys' left rows against its (complete) right rows
+        with the same per-key-run searchsorted — neither side is ever
+        collected anywhere.
+    Right-side ties on (key, ts) must be pre-aggregated by the caller."""
     import numpy as np
     import ray
+
+    if not isinstance(right, pa.Table):
+        right_ds = right
+        if right_ds.count() > broadcast_threshold:
+            return _asof_join_coshuffle(
+                left_ds, right_ds, key_col, ts_col, value_cols, prefix
+            )
+        tables = [
+            b
+            for b in right_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        right = (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else pa.table(
+                {
+                    key_col: pa.array([], type=pa.int64()),
+                    ts_col: pa.array([], type=pa.timestamp("us")),
+                    **{c: pa.array([], type=pa.float64()) for c in value_cols},
+                }
+            )
+        )
 
     rk = right.column(key_col).to_numpy(zero_copy_only=False)
     rt = right.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -191,6 +221,140 @@ def asof_join(
         return out
 
     return left_ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _asof_join_coshuffle(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    value_cols: tuple[str, ...],
+    prefix: str,
+    num_partitions: int | None = None,
+):
+    """Large-right as-of join: tagged union of both sides, ONE hash
+    exchange keyed on `key_col`, then per-partition vectorized resolve
+    (each partition holds every row of its keys from BOTH sides, so the
+    per-key-run searchsorted of the broadcast path runs unchanged against
+    partition-local right rows). Equivalence-tested against the broadcast
+    path; output column set and types are identical."""
+    import numpy as np
+    import ray
+    from ray.data.context import ShuffleStrategy
+
+    if num_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_partitions = max(8, cpus // 4)
+
+    left_schema = left_ds.schema().base_schema
+    left_names = list(left_schema.names)
+    helper_rts = "__asof_rts"
+    helper_side = "__asof_side"
+    helper_v = {c: f"__asof_v_{c}" for c in value_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        t = batch
+        t = t.append_column(helper_rts, pa.nulls(n, pa.int64()))
+        for c in value_cols:
+            t = t.append_column(helper_v[c], pa.nulls(n, pa.float64()))
+        return t.append_column(helper_side, pa.array(np.zeros(n, dtype=np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for f in left_schema:
+            if f.name == key_col:
+                cols[f.name] = batch.column(key_col).cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        cols[helper_rts] = batch.column(ts_col).cast(pa.int64())
+        for c in value_cols:
+            cols[helper_v[c]] = batch.column(c).cast(pa.float64())
+        cols[helper_side] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+    out_schema = pa.schema(
+        list(left_schema)
+        + [pa.field(prefix + "ts", pa.timestamp("us"))]
+        + [pa.field(prefix + c, pa.float64()) for c in value_cols]
+    )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_col not in batch.column_names:
+            return out_schema.empty_table()
+        side = batch.column(helper_side).to_numpy(zero_copy_only=False)
+        is_left = side == 0
+        left_t = batch.filter(pa.array(is_left)).select(
+            left_names
+        )
+        right_t = batch.filter(pa.array(~is_left))
+        if left_t.num_rows == 0:
+            return out_schema.empty_table()
+        rk = right_t.column(key_col).to_numpy(zero_copy_only=False)
+        rt = right_t.column(helper_rts).to_numpy(zero_copy_only=False)
+        rvals = {
+            c: right_t.column(helper_v[c]).to_numpy(zero_copy_only=False)
+            for c in value_cols
+        }
+        order = np.lexsort((rt, rk))
+        rk, rt = rk[order], rt[order]
+        rvals = {c: v[order] for c, v in rvals.items()}
+        rstarts = (
+            np.flatnonzero(np.concatenate(([True], rk[1:] != rk[:-1])))
+            if rk.shape[0]
+            else np.empty(0, np.int64)
+        )
+        rbounds = np.concatenate((rstarts, [rk.shape[0]]))
+        rkey_of_run = rk[rstarts] if rk.shape[0] else rk
+
+        keys = left_t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = left_t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = keys.shape[0]
+        match_ts = np.full(n, -1, dtype=np.int64)
+        out_vals = {c: np.full(n, np.nan, dtype=np.float64) for c in value_cols}
+        lorder = np.lexsort((ts, keys))
+        sk = keys[lorder]
+        runs = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
+        bounds = np.concatenate((runs, [n]))
+        for ri in range(len(runs)):
+            s, e = int(bounds[ri]), int(bounds[ri + 1])
+            pos = np.searchsorted(rkey_of_run, sk[s])
+            if pos >= rkey_of_run.shape[0] or rkey_of_run[pos] != sk[s]:
+                continue
+            a, b = int(rbounds[pos]), int(rbounds[pos + 1])
+            t_arr = rt[a:b]
+            rows = lorder[s:e]
+            j = np.searchsorted(t_arr, ts[rows], side="right") - 1
+            ok = j >= 0
+            rr, jj = rows[ok], j[ok]
+            match_ts[rr] = t_arr[jj]
+            for c in value_cols:
+                out_vals[c][rr] = rvals[c][a:b][jj]
+        miss = match_ts < 0
+        out = left_t.append_column(
+            prefix + "ts",
+            pa.array(np.where(miss, 0, match_ts), type=pa.int64(), mask=miss).cast(
+                pa.timestamp("us")
+            ),
+        )
+        for c in value_cols:
+            out = out.append_column(
+                prefix + c, pa.array(out_vals[c], type=pa.float64(), mask=miss)
+            )
+        return out
+
+    return tagged.repartition(num_partitions, keys=[key_col], sort=False).map_batches(
+        resolve, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def sessionize(

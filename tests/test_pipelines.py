@@ -7,6 +7,7 @@ chunk-digest-shingle Jaccard oracle on planted-duplicate fixtures).
 """
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1001,5 +1002,108 @@ def test_substring_dedup_clean_emit_text(ray_session):
         )
         assert "cleaned_text" in out.columns
         for r in out.itertuples():
-            assert hashlib.md5(r.cleaned_text.encode()).hexdigest() == r.cleaned_md5
-            assert len(r.cleaned_text.encode()) == r.kept_bytes
+            # large_binary (removals are byte-aligned, see _clean_partition)
+            assert isinstance(r.cleaned_text, bytes)
+            assert hashlib.md5(r.cleaned_text).hexdigest() == r.cleaned_md5
+            assert len(r.cleaned_text) == r.kept_bytes
+
+
+def test_substring_dedup_clean_non_ascii_and_128bit(ray_session):
+    """Byte-aligned removal spans that split multibyte UTF-8 codepoints
+    must still produce a valid (binary) cleaned column, and the effective
+    128-bit gram key means identical 64-bit prefixes from DIFFERENT bytes
+    never co-elect an owner (dual-hash columns present end to end)."""
+    import hashlib
+
+    from plakar_ray.pipelines.dedup import _gram_rows_batch, substring_dedup_clean
+
+    # non-periodic multibyte span (a periodic one would self-dedup inside
+    # the owner doc too): 40 distinct 3-byte hiragana codepoints
+    span = "".join(chr(0x3041 + i) for i in range(40))
+    texts = [
+        "A" * 50 + span + "B" * 50,
+        "C" * 31 + span + "D" * 50,  # span at odd byte offset in doc 0? ensure unaligned
+        "unrelated text " * 12,
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.large_string()),  # large_string input
+        }
+    )
+    g = _gram_rows_batch(table, 32, "doc_id", "text", 0, dual=True)
+    assert "gram64b" in g.column_names and g.num_rows > 0
+    for thr in (2_000_000, 0):
+        out = (
+            substring_dedup_clean(
+                _ds(table), gram_len=32, emit_text=True, local_threshold=thr
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 3
+        # doc 1 (non-owner) loses the span bytes; doc 0 keeps them
+        assert out.loc[0, "removed_bytes"] == 0
+        assert out.loc[1, "removed_bytes"] >= 3 * 40
+        for r in out.itertuples():
+            assert hashlib.md5(r.cleaned_text).hexdigest() == r.cleaned_md5
+            assert len(r.cleaned_text) == r.kept_bytes
+        # the cleaned bytes of doc 1 need not be valid UTF-8 — binary type
+        # makes that legal; full-doc kept bytes still decode
+        assert out.loc[0, "cleaned_text"].decode("utf-8") == texts[0]
+
+
+def test_asof_join_coshuffle_equals_broadcast(ray_session):
+    """broadcast_threshold=0 with a Dataset right side forces the tagged
+    co-shuffle path; its output must row-for-row equal the broadcast-index
+    path on the same inputs (keys with no right rows, pre-epoch misses and
+    exact-ts matches included)."""
+    import ray.data
+
+    from plakar_ray.pipelines.events import asof_join
+
+    rng = np.random.default_rng(5)
+    n_left, n_right = 4000, 1500
+    lkeys = rng.integers(0, 120, n_left)
+    lts = rng.integers(1_000_000, 2_000_000, n_left) * 1_000_000
+    left = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_left), type=pa.int64()),
+            "user_id": pa.array(lkeys, type=pa.int64()),
+            "ts": pa.array(lts, type=pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    rkeys = rng.integers(0, 100, n_right)  # keys 100..119 have no right rows
+    rts = rng.integers(900_000, 1_900_000, n_right) * 1_000_000
+    # dedup (key, ts) ties like the query does
+    rt = (
+        pa.table(
+            {
+                "user_id": pa.array(rkeys, type=pa.int64()),
+                "ts": pa.array(rts, type=pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(rng.random(n_right), type=pa.float64()),
+            }
+        )
+        .group_by(["user_id", "ts"])
+        .aggregate([("value", "max")])
+        .rename_columns(["user_id", "ts", "value"])
+    )
+
+    def run(right_arg, **kw):
+        ds = asof_join(
+            ray.data.from_arrow(left).repartition(6), right_arg,
+            key_col="user_id", ts_col="ts", **kw,
+        )
+        return (
+            ds.to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "user_id", "asof_ts", "asof_value"]]
+        )
+
+    want = run(rt)  # broadcast (pa.Table right)
+    got = run(ray.data.from_arrow(rt).repartition(5), broadcast_threshold=0)
+    pd.testing.assert_frame_equal(got, want)
+    # Dataset right at/below the gate takes the broadcast path: same result.
+    got2 = run(ray.data.from_arrow(rt), broadcast_threshold=10**9)
+    pd.testing.assert_frame_equal(got2, want)
