@@ -56,6 +56,7 @@ _SHA_SRC = os.path.join(_DIR, "sha.c")
 
 _SHA_SIGNATURES = {
     "sha256_segments_full": [_p_u8, _p_i64, _i64, _p_u8],
+    "md5_segments_full": [_p_u8, _p_i64, _i64, _p_u8],
 }
 
 _lib = None
@@ -148,6 +149,22 @@ def sha256_segments_full(lib, lengths: np.ndarray, data: np.ndarray) -> np.ndarr
                                  out.ctypes.data_as(_p_u8))
     if m != n:
         raise RuntimeError("sha256_segments_full failed")
+    return out
+
+
+def md5_segments_full(lib, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 md5 digests of the contiguous segments tiling
+    `data` (sum(lengths) == data.size)."""
+    n = lengths.shape[0]
+    out = np.empty((n, 16), dtype=np.uint8)
+    if n == 0:
+        return out
+    keep, p = _doc_ptr(data)
+    lens = np.ascontiguousarray(lengths.astype(np.int64, copy=False))
+    m = lib.md5_segments_full(p, lens.ctypes.data_as(_p_i64), n,
+                              out.ctypes.data_as(_p_u8))
+    if m != n:
+        raise RuntimeError("md5_segments_full failed")
     return out
 
 

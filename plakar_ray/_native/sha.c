@@ -36,3 +36,28 @@ int64_t sha256_segments_full(const uint8_t *data, const int64_t *lengths,
     EVP_MD_CTX_free(ctx);
     return n_segments;
 }
+
+/* Per-segment md5, same contract as sha256_segments_full but 16-byte
+ * digests (exact-dedup digest groupby and the clean transform's
+ * cleaned-text evidence both use md5 to match the DuckDB oracle's md5()). */
+int64_t md5_segments_full(const uint8_t *data, const int64_t *lengths,
+                          int64_t n_segments, uint8_t *out16) {
+    const EVP_MD *md = EVP_md5();
+    EVP_MD_CTX *ctx = EVP_MD_CTX_new();
+    if (ctx == NULL)
+        return -1;
+    const uint8_t *p = data;
+    for (int64_t i = 0; i < n_segments; i++) {
+        unsigned int len = 0;
+        if (!EVP_DigestInit_ex(ctx, md, NULL) ||
+            !EVP_DigestUpdate(ctx, p, (size_t)lengths[i]) ||
+            !EVP_DigestFinal_ex(ctx, out16 + (size_t)i * 16, &len) ||
+            len != 16) {
+            EVP_MD_CTX_free(ctx);
+            return -1;
+        }
+        p += lengths[i];
+    }
+    EVP_MD_CTX_free(ctx);
+    return n_segments;
+}

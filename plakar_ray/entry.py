@@ -739,17 +739,16 @@ def q_train_val_split(sf_dir: str) -> pa.Table:
     """Leakage-free deterministic train/val split by content hash (identical
     texts always land in the same split — the dedup-aware way to split
     training corpora). val fraction ~20%: first md5 byte < 51."""
-    import hashlib
-
     from plakar_ray.functions.arrowbytes import byte_views
+    from plakar_ray.functions.strhash import md5_segments
 
     def split_batch(batch: pa.Table) -> pa.Table:
         data, offsets = byte_views(batch.column("text"))
-        mv = memoryview(data)
-        splits = []
-        for i in range(len(batch)):
-            b0 = hashlib.md5(mv[offsets[i] : offsets[i + 1]]).digest()[0]
-            splits.append("val" if b0 < 51 else "train")
+        n = len(batch)
+        lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        stream = data[offsets[0] : offsets[-1]] if n else data[:0]
+        b0 = md5_segments(lengths, stream)[:, 0]  # batched OpenSSL kernel
+        splits = np.where(b0 < 51, "val", "train")
         return pa.table(
             {"doc_id": batch.column("doc_id"), "split": pa.array(splits)}
         )

@@ -193,3 +193,38 @@ def reduceat_fixed(values: np.ndarray, offsets: np.ndarray, op=np.add) -> np.nda
     if nz.any():
         out[nz] = op.reduceat(values, starts[nz], axis=0)
     return out
+
+
+_HEXMAP = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def md5_segments(lengths: np.ndarray, stream: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 md5 digests of the segments tiling `stream` — native
+    OpenSSL kernel (sha.c:md5_segments_full) when available, hashlib loop
+    otherwise (identical bytes)."""
+    from plakar_ray import _native
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    sha_lib = _native.load_sha()
+    if sha_lib is not None:
+        return _native.md5_segments_full(sha_lib, lengths, stream)
+    import hashlib
+
+    out = np.empty((lengths.shape[0], 16), dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    mv = memoryview(stream)
+    for j, (a, b) in enumerate(zip(starts.tolist(), ends.tolist())):
+        out[j] = np.frombuffer(hashlib.md5(mv[a:b]).digest(), dtype=np.uint8)
+    return out
+
+
+def hex_string_array(digests: np.ndarray) -> pa.Array:
+    """(n, k) uint8 digest rows -> Arrow string array of 2k-char lowercase
+    hex — vectorized nibble lookup, one buffer build, no per-row Python."""
+    n, k = digests.shape
+    hx = np.empty((n, 2 * k), dtype=np.uint8)
+    hx[:, 0::2] = _HEXMAP[digests >> 4]
+    hx[:, 1::2] = _HEXMAP[digests & 0x0F]
+    off = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * (2 * k)).tobytes())
+    return pa.Array.from_buffers(pa.string(), n, [None, off, pa.py_buffer(hx)])

@@ -31,19 +31,18 @@ from plakar_ray.state.unionfind import connected_components_ds, label_propagatio
 
 
 def _text_digest_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    from plakar_ray.functions.strhash import hex_string_array, md5_segments
+
     data, offsets = byte_views(batch.column(text_col))
     n = len(batch)
-    digs = []
-    mv = memoryview(data)
-    for i in range(n):
-        digs.append(hashlib.md5(mv[offsets[i] : offsets[i + 1]]).hexdigest())
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    stream = data[offsets[0] : offsets[-1]] if n else data[:0]
+    d16 = md5_segments(lengths, stream)  # batched OpenSSL kernel
     return pa.table(
         {
             id_col: batch.column(id_col),
-            "text_md5": pa.array(digs),
-            "nbytes": pa.array(
-                (offsets[1:] - offsets[:-1]).astype(np.int64), type=pa.int64()
-            ),
+            "text_md5": hex_string_array(d16),
+            "nbytes": pa.array(lengths, type=pa.int64()),
         }
     )
 
@@ -1022,17 +1021,15 @@ def _clean_partition(
     kept = lens - removed
     kept_data = data[~covered]
     kept_off = np.concatenate([[0], np.cumsum(kept)])
-    mv = memoryview(kept_data)
-    md5s = [
-        hashlib.md5(mv[kept_off[i] : kept_off[i + 1]]).hexdigest()
-        for i in range(did.size)
-    ]
+    from plakar_ray.functions.strhash import hex_string_array, md5_segments
+
+    md5s = hex_string_array(md5_segments(kept, kept_data))
     cols = {
         id_col: pa.array(did, type=pa.int64()),
         "removed_spans": pa.array(spans, type=pa.int64()),
         "removed_bytes": pa.array(removed, type=pa.int64()),
         "kept_bytes": pa.array(kept, type=pa.int64()),
-        "cleaned_md5": pa.array(md5s),
+        "cleaned_md5": md5s,
     }
     if emit_text:
         # kept bytes are already contiguous per doc: one zero-copy
