@@ -97,11 +97,14 @@ def page_near_dup_clusters(
         if langs is not None:
             keep = pc.and_(keep, pc.is_in(t.column("lang"), value_set=pa.array(langs)))
         t = t.filter(keep)
-        ids = np.array(
-            [int.from_bytes(hashlib.sha256(u.encode()).digest()[:8], "little") >> 1
-             for u in t.column("url").to_pylist()],
-            dtype=np.int64,
-        )
+        udata, uoffs = byte_views(t.column("url"))
+        ustream = udata[uoffs[0] : uoffs[-1]] if len(t) else udata[:0]
+        from plakar_ray.stages.chunk import ChunkerStage
+
+        d32 = ChunkerStage._digest_segments(np.diff(uoffs), ustream)
+        ids = (
+            np.ascontiguousarray(d32[:, :8]).view(np.uint64).ravel() >> np.uint64(1)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
