@@ -114,18 +114,74 @@ def page_near_dup_clusters(
         )
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    url_map = {}
-    for b in prepped.iter_batches(batch_format="pyarrow", batch_size=None):
-        url_map.update(zip(b.column("doc_id").to_pylist(), b.column("url").to_pylist()))
     clusters = near_dup_clusters(
         prepped, algo, opts, num_perm=num_perm, bands=bands,
         salt_buckets=salt_buckets,
     )
-    urls = [url_map.get(i, "") for i in clusters.column("doc_id").to_pylist()]
-    cluster_urls = [url_map.get(c, "") for c in clusters.column("cluster_id").to_pylist()]
+    # Join urls back DISTRIBUTIVELY: the cluster table is bounded by the
+    # duplicate-doc count, so it broadcasts once (ray.put) and one
+    # vectorized searchsorted pass over the prepped Dataset attaches
+    # labels — the url column is never collected corpus-wide (the old
+    # driver-side url_map dict held every url). Only the edge-touched
+    # rows (∝ dup docs, same bound as `clusters`) return to the driver.
+    cl_ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)
+    cl_lab = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(cl_ids, kind="stable")
+    ref = ray.put((cl_ids[order], cl_lab[order]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ci, clab = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if ci.shape[0] == 0:
+            return empty
+        pos = np.minimum(np.searchsorted(ci, ids), ci.shape[0] - 1)
+        hit = ci[pos] == ids
+        t = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": t.column("url").cast(pa.string()),
+                "label": pa.array(clab[pos[hit]], type=pa.int64()),
+            }
+        )
+
+    rows = [
+        b
+        for b in prepped.map_batches(attach, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if len(b)
+    ]
+    t = (
+        pa.concat_tables(rows)
+        if rows
+        else pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    rep_url = dict(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("url").to_pylist(),
+        )
+    )  # bounded: one entry per edge-touched doc
+    cluster_urls = [rep_url.get(c, "") for c in t.column("label").to_pylist()]
     return pa.table(
         {
-            "url": pa.array(urls),
+            "url": t.column("url"),
             "cluster_url": pa.array(cluster_urls),
         }
     ).sort_by("url")
