@@ -264,3 +264,27 @@ def test_native_gram_winnow_multi_differential():
         assert np.array_equal(h_n, np.concatenate(hs)), (L, w, "hash")
         assert np.array_equal(d_n, np.concatenate(ds_)), (L, w, "doc")
         assert np.array_equal(p_n, np.concatenate(ps)), (L, w, "pos")
+
+
+def test_md5_segments_native_matches_hashlib():
+    """Native OpenSSL md5 segment kernel == hashlib loop, and the hex
+    encoder matches hexdigest()."""
+    import hashlib
+
+    import numpy as np
+
+    from plakar_ray import _native
+    from plakar_ray.functions.strhash import hex_string_array, md5_segments
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(0, 500, 64).astype(np.int64)
+    stream = rng.integers(0, 256, int(lens.sum()), dtype=np.uint8)
+    d16 = md5_segments(lens, stream)
+    hexes = hex_string_array(d16).to_pylist()
+    ends = np.cumsum(lens)
+    mv = memoryview(stream)
+    for j, (a, b) in enumerate(zip((ends - lens).tolist(), ends.tolist())):
+        assert hexes[j] == hashlib.md5(mv[a:b]).hexdigest()
+    lib = _native.load_sha()
+    if lib is not None:
+        assert np.array_equal(_native.md5_segments_full(lib, lens, stream), d16)
