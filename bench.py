@@ -290,6 +290,9 @@ def bench_queries(sf_dir: str) -> dict:
         # evidence-twin guard (VERDICT r2 #9): the md5 verification path
         # must not silently dominate if the driver scales its check corpus.
         "minhash_lsh_clusters_md5",
+        # north-rule end-to-end: pages table -> extract -> CDC MinHash/LSH
+        # -> CC -> (url, cluster_url) with distributed url join-back.
+        "pages_near_dup_clusters",
     ]
     qs = E.queries()
     out = {}

@@ -647,6 +647,34 @@ def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pages_near_dup_clusters(sf_dir: str) -> pa.Table:
+    """The production pages flagship (north rule): pages -> extract ->
+    CDC-chunk MinHash/LSH -> connected components -> (url, cluster_url).
+    CDC boundaries are not SQL-expressible, so this row is rows-only for
+    the driver; its value-checked twin is pages_near_dup_clusters_md5
+    (same prep, same exchange, same url join-back, evidence signatures)."""
+    from plakar_ray.pipelines.pages import page_near_dup_clusters
+    from plakar_ray.sources.pages import pages_from_documents
+
+    return page_near_dup_clusters(
+        pages_from_documents(sf_dir), "fastcdc-v1.0.0", SMALL,
+        num_perm=192, bands=64,
+    )
+
+
+def q_pages_near_dup_clusters_md5(sf_dir: str) -> pa.Table:
+    """The END-TO-END pages flagship (north rule), driver-value-checked:
+    pages derivation -> extract_text identity -> batched sha256 url ids ->
+    md5 evidence MinHash signatures -> LSH banding + star edges + connected
+    components (the exact exchange of the CDC flagship) -> distributed url
+    join-back with canonical (min-url) representative election. DuckDB
+    reproduces every step including the final (url, cluster_url) table."""
+    from plakar_ray.pipelines.pages import page_near_dup_clusters_md5
+    from plakar_ray.sources.pages import pages_from_documents
+
+    return page_near_dup_clusters_md5(pages_from_documents(sf_dir))
+
+
 def q_pages_extract_digests(sf_dir: str) -> pa.Table:
     """Pages derived from documents -> extract_text -> per-url sha256: the
     driver-checkable form of the byte-identical-extracted-text invariant."""
@@ -1052,6 +1080,8 @@ def queries():
         "length_histogram": q_length_histogram,
         "length_histogram_fixed": q_length_histogram_fixed,
         "pages_extract_digests": q_pages_extract_digests,
+        "pages_near_dup_clusters": q_pages_near_dup_clusters,
+        "pages_near_dup_clusters_md5": q_pages_near_dup_clusters_md5,
         "unique_chunk_store": q_unique_chunk_store,
         "cross_doc_dup_bytes_fixed": q_cross_doc_dup_bytes_fixed,
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
@@ -1351,6 +1381,51 @@ def oracle_sql():
             SELECT 'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
                    sha256(text) AS text_sha256
             FROM documents ORDER BY url
+        """,
+        # End-to-end pages flagship: same signature/band/CC CTEs as
+        # minhash_lsh_clusters_md5, lifted onto the derived pages table and
+        # finished with the canonical min-url representative election.
+        "pages_near_dup_clusters_md5": """
+            WITH RECURSIVE pages AS (
+              SELECT doc_id,
+                     'https://docs.example/' || lpad(doc_id::VARCHAR, 8, '0') AS url,
+                     text
+              FROM documents WHERE length(text) > 0
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x <> '') AS t
+              FROM pages
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_upper(t[(g.i+1)::INT] || ' ' || t[(g.i+2)::INT] || ' ' || t[(g.i+3)::INT]) AS h
+              FROM toks CROSS JOIN LATERAL (SELECT unnest(range(len(t) - 2)) AS i) g
+              WHERE len(t) >= 3
+            ), sig AS (
+              SELECT doc_id, p.p::BIGINT AS perm_id,
+                     min(xor(h, md5_number_upper('perm-' || p.p))) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p) p
+              GROUP BY doc_id, p.p
+            ), bandkey AS (
+              SELECT doc_id, (perm_id // 4)::INT AS band_id,
+                     string_agg(mh::VARCHAR, ',' ORDER BY perm_id) AS bkey
+              FROM sig GROUP BY doc_id, (perm_id // 4)::INT
+            ), edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM bandkey a JOIN bandkey b
+                ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+            ), reach(u, v) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), cl AS (
+              SELECT u AS doc_id, min(v) AS c FROM reach GROUP BY u
+            ), withurl AS (
+              SELECT p.url, cl.c FROM cl JOIN pages p ON p.doc_id = cl.doc_id
+            ), rep AS (
+              SELECT c, min(url) AS cluster_url FROM withurl GROUP BY c
+            )
+            SELECT w.url AS url, r.cluster_url AS cluster_url
+            FROM withurl w JOIN rep r ON w.c = r.c ORDER BY url
         """,
         "train_val_split": """
             SELECT doc_id,

@@ -74,22 +74,12 @@ def text_digests(ds) -> pa.Table:
     )
 
 
-def page_near_dup_clusters(
-    ds,
-    algo: str = "fastcdc-v1.0.0",
-    opts: ChunkerOpts | None = None,
-    langs: list[str] | None = None,
-    num_perm: int = 192,
-    bands: int = 64,
-    salt_buckets: int | None = None,
-):
-    """Full pages flagship: filter langs + non-empty text -> extract ->
-    MinHash/LSH -> clusters keyed by url (urls are hashed to int64 ids for
-    the shuffle; the url mapping joins back via broadcast)."""
+def _pages_prep_fn(langs: list[str] | None):
+    """Shared flagship prep: filter langs + non-empty text -> extract ->
+    sha256-derived int64 doc ids (batched native segment kernel; urls are
+    hashed so every downstream exchange shuffles fixed-width ints, never
+    variable-length urls)."""
     import pyarrow.compute as pc
-    import ray
-
-    from plakar_ray.pipelines.dedup import near_dup_clusters
 
     def prep(batch: pa.Table) -> pa.Table:
         t = extract_text_batch(batch)
@@ -113,17 +103,68 @@ def page_near_dup_clusters(
             }
         )
 
-    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return prep
+
+
+def page_near_dup_clusters(
+    ds,
+    algo: str = "fastcdc-v1.0.0",
+    opts: ChunkerOpts | None = None,
+    langs: list[str] | None = None,
+    num_perm: int = 192,
+    bands: int = 64,
+    salt_buckets: int | None = None,
+):
+    """Full pages flagship: filter langs + non-empty text -> extract ->
+    MinHash/LSH -> clusters keyed by url (urls are hashed to int64 ids for
+    the shuffle; the url mapping joins back via broadcast). cluster_url is
+    the lexicographic-min url of the cluster (canonical representative)."""
+    from plakar_ray.pipelines.dedup import near_dup_clusters
+
+    prepped = ds.map_batches(
+        _pages_prep_fn(langs), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     clusters = near_dup_clusters(
         prepped, algo, opts, num_perm=num_perm, bands=bands,
         salt_buckets=salt_buckets,
     )
-    # Join urls back DISTRIBUTIVELY: the cluster table is bounded by the
-    # duplicate-doc count, so it broadcasts once (ray.put) and one
-    # vectorized searchsorted pass over the prepped Dataset attaches
-    # labels — the url column is never collected corpus-wide (the old
-    # driver-side url_map dict held every url). Only the edge-touched
-    # rows (∝ dup docs, same bound as `clusters`) return to the driver.
+    return _attach_cluster_urls(prepped, clusters)
+
+
+def page_near_dup_clusters_md5(ds, langs: list[str] | None = None,
+                               num_perm: int = 16, bands: int = 4):
+    """The pages flagship with the md5 EVIDENCE signature family
+    (stages/evidence.py) in place of CDC MinHash: same prep (extract +
+    batched sha256 url ids), same LSH banding + star edges + connected
+    components (pipelines/dedup.clusters_from_signatures — the exact
+    exchange the CDC flagship runs), same distributed url join-back.
+    DuckDB reproduces the signatures value-exactly, so the driver's oracle
+    checks the END-TO-END pages pipeline: pages derivation, text-extract
+    identity, cluster membership, and canonical-url election."""
+    from plakar_ray.pipelines.dedup import clusters_from_signatures
+    from plakar_ray.stages.evidence import ngram_minhash_signatures_wide
+
+    prepped = ds.map_batches(
+        _pages_prep_fn(langs), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    sigs = ngram_minhash_signatures_wide(prepped, num_perm=num_perm)
+    clusters = clusters_from_signatures(sigs, bands=bands)
+    return _attach_cluster_urls(prepped, clusters)
+
+
+def _attach_cluster_urls(prepped, clusters: pa.Table) -> pa.Table:
+    """(url, cluster_url) from (doc_id, cluster_id) labels.
+
+    Join urls back DISTRIBUTIVELY: the cluster table is bounded by the
+    duplicate-doc count, so it broadcasts once (ray.put) and one
+    vectorized searchsorted pass over the prepped Dataset attaches
+    labels — the url column is never collected corpus-wide (the old
+    driver-side url_map dict held every url). Only the edge-touched
+    rows (∝ dup docs, same bound as `clusters`) return to the driver,
+    where the canonical representative (min url per cluster) is elected
+    over that bounded table."""
+    import ray
+
     cl_ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)
     cl_lab = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
     order = np.argsort(cl_ids, kind="stable")
@@ -172,17 +213,21 @@ def page_near_dup_clusters(
             }
         )
     )
-    rep_url = dict(
-        zip(
-            t.column("doc_id").to_pylist(),
-            t.column("url").to_pylist(),
-        )
-    )  # bounded: one entry per edge-touched doc
-    cluster_urls = [rep_url.get(c, "") for c in t.column("label").to_pylist()]
+    # Canonical representative: lexicographic-min url per cluster, elected
+    # over the bounded edge-touched table (vectorized groupby-min).
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+    order = np.lexsort((urls, lab))
+    lab_s, url_s = lab[order], urls[order]
+    first = np.ones(lab_s.shape[0], dtype=bool)
+    first[1:] = lab_s[1:] != lab_s[:-1]
+    group = np.cumsum(first) - 1
+    rep_per_group = url_s[first]
+    cluster_urls = rep_per_group[group[np.argsort(order, kind="stable")]]
     return pa.table(
         {
             "url": t.column("url"),
-            "cluster_url": pa.array(cluster_urls),
+            "cluster_url": pa.array(cluster_urls.tolist(), type=pa.string()),
         }
     ).sort_by("url")
 

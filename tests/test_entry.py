@@ -52,6 +52,7 @@ SUBSET = ["doc_text_stats", "lang_id", "top_tokens", "events_window",
           "exact_dup_groups", "embedding_topk", "chunk_fixed_stats",
           "doc_fingerprints_mul", "ngram_minhash_sigs", "simhash64",
           "minhash_lsh_clusters_md5", "simhash_pairs_md5",
+          "pages_near_dup_clusters_md5",
           "embedding_srp_pairs_md5", "embedding_ivf_topk_det"]
 
 
