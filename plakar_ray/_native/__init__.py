@@ -78,7 +78,13 @@ def _build(src_path: str, stem: str, signatures: dict,
                 os.makedirs(base, exist_ok=True)
                 tmp = f"{so}.tmp{os.getpid()}"
                 cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, src_path] + extra
-                r = subprocess.run(cmd + ["-march=native"], capture_output=True)
+                # Alignment pins the unrolled gear scan's hot loop to a
+                # 32B boundary (throughput is alignment-sensitive on the
+                # uop cache); optional, stripped with -march=native if the
+                # local toolchain rejects either.
+                opt = ["-march=native", "-falign-functions=64",
+                       "-falign-loops=32"]
+                r = subprocess.run(cmd + opt, capture_output=True)
                 if r.returncode != 0:
                     r = subprocess.run(cmd, capture_output=True)
                     if r.returncode != 0:

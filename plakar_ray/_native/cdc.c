@@ -23,6 +23,75 @@
 
 /* ------------------------------------------------------------ fastcdc -- */
 
+/* Unrolled gear scan over [i, end): returns the first index whose
+ * post-absorb fingerprint passes ((fp & mask) == 0), or -1 when none does.
+ * *fp_io carries the rolling fingerprint in and out (on a hit it holds the
+ * fingerprint after absorbing data[hit]; on a miss, after absorbing
+ * data[end-1]).
+ *
+ * The scalar loop's carried dependency is fp' = (fp << 1) + gear[b] — a
+ * 1-cycle lea per byte that, with the per-byte load/test traffic, bounds
+ * the scan near 2 cycles/byte. Unrolling 8-wide with the identity
+ *     fp_{i+j} = (fp_i << j) + s_j,   s_j = (s_{j-1} << 1) + gear[b_{i+j}]
+ * moves the carried chain to ONE shift+add per 8 bytes: the s-chain
+ * depends only on the data (consecutive blocks' chains overlap in the
+ * out-of-order window) and the eight mask tests fold into a single
+ * predictable branch. Boundaries (first hit wins, exact fp state at the
+ * phase edge) are bit-identical to the scalar loop — gated by the golden
+ * and native-vs-numpy differential suites. */
+static inline int64_t scan_gear8(const uint8_t *data, int64_t i, int64_t end,
+                                 uint64_t mask, const uint64_t *gear,
+                                 uint64_t *fp_io) {
+    uint64_t fp = *fp_io;
+    for (; i + 8 <= end; i += 8) {
+        uint64_t g0 = gear[data[i]], g1 = gear[data[i + 1]],
+                 g2 = gear[data[i + 2]], g3 = gear[data[i + 3]],
+                 g4 = gear[data[i + 4]], g5 = gear[data[i + 5]],
+                 g6 = gear[data[i + 6]], g7 = gear[data[i + 7]];
+        uint64_t s0 = g0;
+        uint64_t s1 = (s0 << 1) + g1;
+        uint64_t s2 = (s1 << 1) + g2;
+        uint64_t s3 = (s2 << 1) + g3;
+        uint64_t s4 = (s3 << 1) + g4;
+        uint64_t s5 = (s4 << 1) + g5;
+        uint64_t s6 = (s5 << 1) + g6;
+        uint64_t s7 = (s6 << 1) + g7;
+        uint64_t f0 = (fp << 1) + s0;
+        uint64_t f1 = (fp << 2) + s1;
+        uint64_t f2 = (fp << 3) + s2;
+        uint64_t f3 = (fp << 4) + s3;
+        uint64_t f4 = (fp << 5) + s4;
+        uint64_t f5 = (fp << 6) + s5;
+        uint64_t f6 = (fp << 7) + s6;
+        uint64_t f7 = (fp << 8) + s7;
+        int hit = ((f0 & mask) == 0) | ((f1 & mask) == 0) |
+                  ((f2 & mask) == 0) | ((f3 & mask) == 0) |
+                  ((f4 & mask) == 0) | ((f5 & mask) == 0) |
+                  ((f6 & mask) == 0) | ((f7 & mask) == 0);
+        if (__builtin_expect(hit, 0)) {
+            if ((f0 & mask) == 0) { *fp_io = f0; return i; }
+            if ((f1 & mask) == 0) { *fp_io = f1; return i + 1; }
+            if ((f2 & mask) == 0) { *fp_io = f2; return i + 2; }
+            if ((f3 & mask) == 0) { *fp_io = f3; return i + 3; }
+            if ((f4 & mask) == 0) { *fp_io = f4; return i + 4; }
+            if ((f5 & mask) == 0) { *fp_io = f5; return i + 5; }
+            if ((f6 & mask) == 0) { *fp_io = f6; return i + 6; }
+            *fp_io = f7;
+            return i + 7;
+        }
+        fp = f7;
+    }
+    for (; i < end; i++) {
+        fp = (fp << 1) + gear[data[i]];
+        if ((fp & mask) == 0) {
+            *fp_io = fp;
+            return i;
+        }
+    }
+    *fp_io = fp;
+    return -1;
+}
+
 static inline int64_t cut_fastcdc(const uint8_t *data, int64_t n,
                                   int64_t min_size, int64_t max_size,
                                   int64_t normal_size, uint64_t mask_s,
@@ -44,25 +113,16 @@ static inline int64_t cut_fastcdc(const uint8_t *data, int64_t n,
     int64_t ph1 = normal_size > i ? normal_size : i;
     if (ph1 > n)
         ph1 = n;
-    for (; i < ph1; i++) {
-        fp = (fp << 1) + gear[data[i]];
-        if ((fp & mask_s) == 0)
-            return i;
-    }
+    int64_t hit = scan_gear8(data, i, ph1, mask_s, gear, &fp);
+    if (hit >= 0)
+        return hit;
+    i = ph1;
     if (min_size > normal_size) {
-        for (; i < n; i++) {
-            fp = (fp << 1) + gear[data[i]];
-            if ((fp & mask_s) == 0)
-                return i;
-        }
-        return i;
+        hit = scan_gear8(data, i, n, mask_s, gear, &fp);
+        return hit >= 0 ? hit : n;
     }
-    for (; i < n; i++) {
-        fp = (fp << 1) + gear[data[i]];
-        if ((fp & mask_l) == 0)
-            return i;
-    }
-    return i;
+    hit = scan_gear8(data, i, n, mask_l, gear, &fp);
+    return hit >= 0 ? hit : n;
 }
 
 int64_t fastcdc_doc(const uint8_t *data, int64_t total, int64_t min_size,
