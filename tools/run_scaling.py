@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    rnd = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    rnd = sys.argv[2] if len(sys.argv) > 2 else "2"  # filename tag
     raw_path = os.path.join(REPO, "BENCH", f"scaling_all_runs_r{rnd}.jsonl")
     head_path = os.path.join(REPO, "BENCH", f"scaling_local_r{rnd}.json")
     os.makedirs(os.path.dirname(raw_path), exist_ok=True)
