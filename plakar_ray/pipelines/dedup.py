@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 from plakar_ray.functions.arrowbytes import byte_views
+from plakar_ray.functions.exchange import packed_exchange
 from plakar_ray.opts import ChunkerOpts
 from plakar_ray.sources.pages import apply_insertions, apply_spread_insertions
 from plakar_ray.stages.chunk import ChunkerStage, chunk_dataset, default_pool_size
@@ -842,8 +843,6 @@ def substring_dup_spans(
     sibling `cross_doc_dup_bytes` stays the coarse whole-corpus pass; this
     operator is the fine-grained measure (run corpus-wide at 100 TB with
     winnowing, or exact over suspect partitions)."""
-    from ray.data.context import ShuffleStrategy
-
     import ray
     import ray.data
 
@@ -854,7 +853,11 @@ def substring_dup_spans(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    n_part = max(8, cpus // 4)
+    # Gram rows outnumber corpus bytes / (w/2); the gram-keyed reduce runs
+    # one task per partition (batch == block), so reduce parallelism IS
+    # n_part — size it to the cluster, not a fraction of it. The doc-keyed
+    # second exchange carries only duplicated positions (tiny).
+    n_part = max(8, cpus)
 
     grams = ds.map_batches(
         lambda b: _gram_rows_batch(b, L, id_col, text_col, int(winnow_w)),
@@ -863,7 +866,11 @@ def substring_dup_spans(
         zero_copy_batch=True,
     )
 
-    grams = grams.materialize()
+    if local_threshold:
+        # The size gate needs a count, hence a materialize; the distributed
+        # path (local_threshold=0 or large corpora) streams straight into
+        # the hash exchange with no barrier.
+        grams = grams.materialize()
     if local_threshold and grams.count() <= local_threshold:
         tables = [
             b
@@ -887,21 +894,30 @@ def substring_dup_spans(
             )
         )
 
-    grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    dup_pos = grams.repartition(n_part, keys=["gram64"], sort=False).map_batches(
-        lambda b: _cross_doc_positions(b, id_col),
-        batch_size=None,  # batch == block == one complete hash partition
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # Packed exchanges (functions/exchange.py): the gram exchange ships one
+    # IPC blob per (block, bucket) instead of one row per gram — Ray's
+    # row-wise hash shuffle costs ~3 us/row of aggregator CPU, which at one
+    # gram row per w/2 corpus bytes would dominate the whole operator.
+    gram_empty = pa.table(
+        {
+            "gram64": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
     )
-    dup_pos.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return dup_pos.repartition(
-        max(4, n_part // 2), keys=[id_col], sort=False
-    ).map_batches(
-        lambda b: _merge_span_batch(b, merge_gap, L, id_col),
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    dup_pos = packed_exchange(
+        grams, ["gram64"], n_part,
+        lambda b: _cross_doc_positions(b, id_col), gram_empty,
+    )
+    pos_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    return packed_exchange(
+        dup_pos, [id_col], max(8, n_part // 2),
+        lambda b: _merge_span_batch(b, merge_gap, L, id_col), pos_empty,
     )
 
 
@@ -1070,8 +1086,6 @@ def substring_dedup_clean(
     document with all its removal positions -> vectorized coverage +
     kept-byte gather. Three exchanges total, each hash-partitioned; no
     joins, no driver materialization above the gate."""
-    from ray.data.context import ShuffleStrategy
-
     import ray
     import ray.data
 
@@ -1081,7 +1095,10 @@ def substring_dedup_clean(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    n_part = max(8, cpus // 4)
+    # Reduce-side parallelism == n_part (batch == block == one partition);
+    # size the gram exchange to the cluster. The doc-keyed exchange carries
+    # full text payloads, so keep it wide too (smaller per-task heaps).
+    n_part = max(8, cpus)
 
     ds = ds.materialize()  # consumed twice: gram rows + tagged doc rows
 
@@ -1119,7 +1136,8 @@ def substring_dedup_clean(
         _tag_docs, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    grams = grams.materialize()
+    if local_threshold:
+        grams = grams.materialize()  # gate needs a count; no barrier otherwise
     if local_threshold and grams.count() <= local_threshold:
         gtables = [
             b
@@ -1149,24 +1167,32 @@ def substring_dedup_clean(
             _clean_partition(merged, L, id_col, text_col, emit_text)
         )
 
-    grams.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    removals = (
-        grams.repartition(n_part, keys=["gram64"], sort=False)
-        .map_batches(
-            lambda b: _nonowner_positions(b, id_col),
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .map_batches(_tag_removals, batch_format="pyarrow", zero_copy_batch=True)
+    # Packed exchanges (functions/exchange.py) — stride-1 gram rows are one
+    # row per corpus byte, so a row-granular shuffle is the dominant cost.
+    gram_empty = pa.table(
+        {
+            "gram64": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "gram64b": pa.array([], type=pa.uint64()),
+        }
+    )
+    removals = packed_exchange(
+        grams, ["gram64"], n_part,
+        lambda b: _tag_removals(_nonowner_positions(b, id_col)), gram_empty,
     )
     both = removals.union(docs_tagged)
-    both.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return both.repartition(n_part, keys=[id_col], sort=False).map_batches(
+    tagged_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            text_col: pa.array([], type=pa.large_string()),
+        }
+    )
+    return packed_exchange(
+        both, [id_col], n_part,
         lambda b: _clean_partition(b, L, id_col, text_col, emit_text),
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        tagged_empty,
     )
 
 
