@@ -269,7 +269,7 @@ def candidate_pairs(
     also the natural lineage/resume boundary."""
     import os
 
-    from ray.data.context import ShuffleStrategy
+    from plakar_ray.functions.exchange import packed_exchange
 
     try:
         import ray
@@ -280,10 +280,12 @@ def candidate_pairs(
     n_part = int(os.environ.get("PLAKAR_LSH_PARTITIONS", "0"))
     if n_part <= 0:
         # Partition-count fixed cost is real (~50-70 ms per partition of
-        # aggregator/finalization overhead measured on this host), so local
-        # runs keep partitions modest; a multi-node deployment should set
-        # PLAKAR_LSH_PARTITIONS to ~2x total cluster cores so every node
-        # holds a few partitions and no partition exceeds worker memory.
+        # aggregator/finalization overhead measured on this host; A/B at
+        # 16 cpus: n_part=8 best 1.50 s vs n_part=16 1.76 s on the same
+        # exchange), so local runs keep partitions modest; a multi-node
+        # deployment should set PLAKAR_LSH_PARTITIONS to ~2x total cluster
+        # cores so every node holds a few partitions and no partition
+        # exceeds worker memory.
         n_part = max(8, cpus // 4)
     if checkpoint:
         sig_ds = sig_ds.materialize()
@@ -291,46 +293,46 @@ def candidate_pairs(
         # (identical star edges; salt is a shuffle-only concern).
         if local_threshold and sig_ds.count() <= local_threshold:
             return _local_candidate_pairs(sig_ds, bands, id_col, min_shingles)
-        # Pre-exchange compaction: each upstream block becomes one shuffle
-        # map task, and per-task overhead (~20-50 ms) dominates the
-        # exchange when blocks are small (measured 5.7 -> 2.5 s on a 1M-row
-        # band exchange with 256 tiny sig blocks). Coalesce only when the
-        # average block is under ~8 MiB — at deployment scale signature
-        # blocks are already large and this pass is skipped entirely.
-        nb = sig_ds.num_blocks()
-        size = sig_ds.size_bytes() or 0
-        if nb > 4 * cpus and size / max(nb, 1) < (8 << 20):
-            target = max(2 * cpus, int(size // (64 << 20)))
-            if target < nb:
-                # Streaming coalesce — no materialize barrier: the input is
-                # already checkpointed above, so re-execution cost is one
-                # read of the small signature table, and skipping the extra
-                # object-store copy removes a synchronous pass from the
-                # exchange tail.
-                sig_ds = sig_ds.repartition(target)
+        # Pre-exchange compaction now happens INSIDE the band+pack stage:
+        # map_batches(batch_size=PACK_ROWS) bundles consecutive small sig
+        # blocks into one task (and splits oversized ones), so small-block
+        # per-task overhead is amortized without the extra object-store
+        # pass a coalescing repartition cost (a 2.5 s barrier at 8 GiB /
+        # 16 cpus).
     # Stateless task-pool stages: Band explode and per-partition grouping
     # hold no state worth an actor pool, and task pools skip the actor
     # startup cost that dominated the exchange tail (measured 11.9 -> 7.5 s).
+    pack_rows = int(os.environ.get("PLAKAR_LSH_PACK_ROWS", "8192"))
     band_rows = sig_ds.map_batches(
         BandStage(
             bands=bands, id_col=id_col, min_shingles=min_shingles,
             salt_buckets=salt_buckets,
         ),
+        # bundle small sig blocks into one pack task (<=0: one per block)
+        batch_size=pack_rows if pack_rows > 0 else None,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # Scope the hash-shuffle strategy to this chain's captured DataContext.
-    band_rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # PACKED exchange (functions/exchange.py): band rows are ~bands rows per
+    # document, and Ray's row-granular hash shuffle costs ~3 us/row of
+    # aggregator CPU — the measured fixed tail of this exchange. Packing
+    # each block's rows into one Arrow IPC blob per key bucket makes the
+    # shuffled row count ~n_blocks x n_buckets, independent of corpus size.
     keys = ["band_id", "band_hash"] + (["salt"] if salt_buckets else [])
-    parts = band_rows.repartition(n_part, keys=keys, sort=False)
-    star = parts.map_batches(
+    band_cols = {
+        id_col: pa.array([], type=pa.int64()),
+        "band_id": pa.array([], type=pa.int32()),
+        "band_hash": pa.array([], type=pa.uint64()),
+    }
+    if salt_buckets:
+        band_cols["salt"] = pa.array([], type=pa.int32())
+    star = packed_exchange(
+        band_rows, keys, n_part,
         BucketStarEdges(
             id_col=id_col, with_salt=bool(salt_buckets),
             emit_hubs=bool(salt_buckets),
         ),
-        batch_size=None,  # batch == block == one complete hash partition
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        pa.table(band_cols),
     )
     if not salt_buckets:
         return star
@@ -339,18 +341,20 @@ def candidate_pairs(
     # edge-scale (<< corpus), so materializing it to split edges/hubs is
     # cheap and avoids re-running the exchange twice.
     star = star.materialize()
-    star.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     edges = star.filter(expr="kind == 0").select_columns(["id_a", "id_b"])
     hubs = star.filter(expr="kind == 1").select_columns(
         ["band_id", "band_hash", "id_a"]
     ).rename_columns({"id_a": id_col})
-    hub_parts = hubs.repartition(
-        max(4, n_part // 4), keys=["band_id", "band_hash"], sort=False
+    hub_empty = pa.table(
+        {
+            "band_id": pa.array([], type=pa.int32()),
+            "band_hash": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+        }
     )
-    hub_edges = hub_parts.map_batches(
+    hub_edges = packed_exchange(
+        hubs, ["band_id", "band_hash"], max(4, n_part // 4),
         BucketStarEdges(id_col=id_col, with_salt=False, emit_hubs=False),
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        hub_empty,
     )
     return edges.union(hub_edges)
