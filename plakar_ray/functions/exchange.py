@@ -21,11 +21,13 @@ total, independent of corpus row count:
               table (buffers reference the blob memory, no row decode)
               and runs the caller's per-partition reduce function
 
-Key columns must be integer-valued (every exchange in this repo keys on
-int64/uint64 ids, digests, band hashes or gram hashes). Multi-column keys
-are mixed per-column through the same finalizer, so only exact key
-equality survives into bucket equality — exactly what a keyed exchange
-guarantees.
+Key columns may be integer-valued (ids, band hashes, gram hashes) or
+string/binary (hex digests) — binary keys are folded to u64 with a
+vectorized FNV-1a over their fixed-width padded bytes. Multi-column keys
+are mixed per-column through the same finalizer. Distinct keys may share
+a bucket (that only widens a reduce group, never splits one), so exact
+key equality implies bucket equality — the contract a keyed exchange
+needs.
 """
 
 from __future__ import annotations
@@ -56,13 +58,36 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _column_u64(col) -> np.ndarray:
+    """Key column -> one u64 per row (ints pass through; string/binary
+    keys fold via vectorized FNV-1a over their S-dtype padded bytes —
+    NUL-pad aliasing can only merge buckets, never split a key)."""
+    t = col.type
+    if pa.types.is_integer(t):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    s = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.bytes_)
+    if s.dtype.itemsize == 0:
+        return np.zeros(len(s), dtype=np.uint64)
+    b = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
+    h = np.full(len(s), _FNV_OFF, dtype=np.uint64)
+    for j in range(b.shape[1]):
+        h = (h ^ b[:, j]) * _FNV_PRIME
+    return h
+
+
 def bucket_ids(batch: pa.Table, key_cols: list[str], n_buckets: int) -> np.ndarray:
-    """Per-row bucket in [0, n_buckets) from the integer key columns."""
+    """Per-row bucket in [0, n_buckets) from the key columns."""
     with np.errstate(over="ignore"):
         h = np.full(batch.num_rows, _SPLITMIX_GAMMA, dtype=np.uint64)
         for c in key_cols:
-            v = batch.column(c).to_numpy(zero_copy_only=False)
-            h = _mix64(h + v.astype(np.uint64, copy=False) * _SPLITMIX_GAMMA)
+            col = batch.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            h = _mix64(h + _column_u64(col) * _SPLITMIX_GAMMA)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 

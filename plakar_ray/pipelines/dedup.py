@@ -61,7 +61,6 @@ def exact_dup_groups(
     text) at or under `local_threshold` rows group on the driver instead:
     identical results, none of the exchange's fixed orchestration cost."""
     import ray.data
-    from ray.data.context import ShuffleStrategy
 
     try:
         import ray
@@ -115,14 +114,18 @@ def exact_dup_groups(
         )
         return ray.data.from_arrow(assign_groups(merged))
 
-    digests.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return digests.repartition(
-        max(8, cpus // 4), keys=["text_md5"], sort=False
-    ).map_batches(
-        assign_groups,
-        batch_size=None,  # batch == block == one complete hash partition
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # Packed exchange (functions/exchange.py): one row per DOC would be
+    # 10^12 row-granular shuffle rows at deployment scale; blobs make the
+    # shuffled row count ~n_blocks x n_buckets instead.
+    digest_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "text_md5": pa.array([], type=pa.string()),
+            "nbytes": pa.array([], type=pa.int64()),
+        }
+    )
+    return packed_exchange(
+        digests, ["text_md5"], max(8, cpus // 4), assign_groups, digest_empty
     )
 
 
@@ -406,7 +409,6 @@ def cross_doc_dup_bytes(
     chunker for the SQL-checkable variant; CDC for boundary-synchronized
     accuracy."""
     import numpy as np
-    from ray.data.context import ShuffleStrategy
 
     try:
         import ray
@@ -496,25 +498,31 @@ def cross_doc_dup_bytes(
             merge_doc_partials(partial_dup_sums(pa.concat_tables(tables)))
         )
 
-    chunks.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    partials = chunks.repartition(
-        n_part, keys=["digest64"], sort=False
-    ).map_batches(
-        partial_dup_sums,
-        batch_size=None,  # batch == block == one complete hash partition
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # Packed exchanges (functions/exchange.py): one row per CHUNK is the
+    # heaviest row count in the repo — blobs keep the shuffled row count at
+    # ~n_blocks x n_buckets regardless of corpus size.
+    chunk_empty = pa.table(
+        {
+            "digest64": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "length": pa.array([], type=pa.int64()),
+        }
+    )
+    partials = packed_exchange(
+        chunks, ["digest64"], n_part, partial_dup_sums, chunk_empty
     )
     # Second, tiny exchange: per-doc partials (<= one row per doc per
     # partition) re-keyed by doc and merged per partition.
-    partials.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    return partials.repartition(
-        max(4, n_part // 2), keys=[id_col], sort=False
-    ).map_batches(
-        merge_doc_partials,
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    partial_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "dup_chunks": pa.array([], type=pa.int64()),
+            "dup_bytes": pa.array([], type=pa.int64()),
+        }
+    )
+    return packed_exchange(
+        partials, [id_col], max(4, n_part // 2), merge_doc_partials,
+        partial_empty,
     )
 
 

@@ -198,7 +198,6 @@ def pieces_to_pairs(
     on (piece_id, piece) + per-partition lexsort verify, with a size-gated
     driver-local fast path. No global sort, no per-group UDF dispatch."""
     import ray.data
-    from ray.data.context import ShuffleStrategy
 
     def _arrays(t: pa.Table):
         return (
@@ -231,15 +230,22 @@ def pieces_to_pairs(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    pieces.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    parts = pieces.repartition(
-        max(8, cpus // 4), keys=["piece_id", "piece"], sort=False
+    # Packed exchange (functions/exchange.py): piece rows are bands rows
+    # per doc — blobs keep the shuffled row count block-granular.
+    from plakar_ray.functions.exchange import packed_exchange
+
+    piece_empty = pa.table(
+        {
+            "piece_id": pa.array([], type=pa.int32()),
+            "piece": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "simhash": pa.array([], type=pa.uint64()),
+        }
     )
-    return parts.map_batches(
+    return packed_exchange(
+        pieces, ["piece_id", "piece"], max(8, cpus // 4),
         lambda b: _bucket_hamming_pairs(*_arrays(b), max_hamming, n_bits),
-        batch_size=None,  # batch == block == one complete hash partition
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        piece_empty,
     )
 
 
