@@ -242,6 +242,8 @@ def label_propagation(
     import ray.data as rd
     from ray.data.context import ShuffleStrategy
 
+    from plakar_ray.functions.exchange import packed_exchange
+
     if num_partitions is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -432,15 +434,18 @@ def label_propagation(
     rnd = 0
     while rnd < max_iter and cur[0] > finish_threshold:
         t0 = time.time()
-        ls = (
-            edges.map_batches(_double, batch_format="pyarrow")
-            .repartition(num_partitions, keys=["u"], sort=False)
-            .map_batches(_large_star, batch_size=None, batch_format="pyarrow")
+        # Packed exchanges (functions/exchange.py): each star round moves
+        # the whole current edge set twice, and Ray's row-granular shuffle
+        # costs ~3 us/row — blobs make the shuffled row count
+        # ~n_blocks x n_buckets per round instead of ~2 x |E|.
+        ls = packed_exchange(
+            edges.map_batches(_double, batch_format="pyarrow"),
+            ["u"], num_partitions, _large_star, doubled_empty,
         )
         edges = _rebuild(
-            ls.repartition(num_partitions, keys=["b"], sort=False)
-            .map_batches(_small_star, batch_size=None, batch_format="pyarrow")
-            .materialize(),
+            packed_exchange(
+                ls, ["b"], num_partitions, _small_star, canon_empty
+            ).materialize(),
             canon_empty,
         )
         cur = _digest(edges)
@@ -553,9 +558,9 @@ def label_propagation(
         return t
 
     return _rebuild(
-        edges.map_batches(_labels, batch_format="pyarrow")
-        .repartition(num_partitions, keys=["node"], sort=False)
-        .map_batches(_min_per_node, batch_size=None, batch_format="pyarrow")
-        .materialize(),
+        packed_exchange(
+            edges.map_batches(_labels, batch_format="pyarrow"),
+            ["node"], num_partitions, _min_per_node, label_empty,
+        ).materialize(),
         out_empty,
     )
