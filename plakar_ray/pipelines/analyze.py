@@ -88,7 +88,6 @@ def _unique_digest_totals(
     distinct count/bytes (digests are partition-disjoint by construction),
     summed by a final tiny aggregate."""
     from ray.data.aggregate import Sum
-    from ray.data.context import ShuffleStrategy
 
     def block_uniq(b: pa.Table) -> pa.Table:
         g = b.select(["digest", "length"]).group_by("digest").aggregate(
@@ -142,14 +141,12 @@ def _unique_digest_totals(
             }
         )
 
-    parts.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    per = parts.repartition(
-        max(8, cpus // 4), keys=["digest"], sort=False
-    ).map_batches(
-        part_totals,
-        batch_size=None,  # batch == block == one complete hash partition
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # Packed exchange (functions/exchange.py): one row per chunk — blobs
+    # keep the shuffled row count block-granular at any corpus size.
+    from plakar_ray.functions.exchange import packed_exchange
+
+    per = packed_exchange(
+        parts, ["digest"], max(8, cpus // 4), part_totals, pa.table({})
     )
     agg = per.aggregate(Sum("partial_chunks"), Sum("partial_bytes"))
     return int(agg["sum(partial_chunks)"] or 0), int(agg["sum(partial_bytes)"] or 0)

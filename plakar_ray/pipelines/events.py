@@ -280,8 +280,6 @@ def _asof_join_coshuffle(
     tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
-    tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-
     out_schema = pa.schema(
         list(left_schema)
         + [pa.field(prefix + "ts", pa.timestamp("us"))]
@@ -352,9 +350,11 @@ def _asof_join_coshuffle(
             )
         return out
 
-    return tagged.repartition(num_partitions, keys=[key_col], sort=False).map_batches(
-        resolve, batch_size=None, batch_format="pyarrow"
-    )
+    # Packed exchange (functions/exchange.py): blobs instead of row-granular
+    # shuffle rows; resolve() already guards columnless/empty partitions.
+    from plakar_ray.functions.exchange import packed_exchange
+
+    return packed_exchange(tagged, [key_col], num_partitions, resolve, pa.table({}))
 
 
 def sessionize(
@@ -428,17 +428,11 @@ def sessionize(
         )
         out = sessions_part(merged).to_pandas()
     else:
-        slim.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        out = (
-            slim.repartition(max(8, cpus // 4), keys=[user_col], sort=False)
-            .map_batches(
-                sessions_part,
-                batch_size=None,  # batch == block == one complete hash partition
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .to_pandas()
-        )
+        from plakar_ray.functions.exchange import packed_exchange
+
+        out = packed_exchange(
+            slim, [user_col], max(8, cpus // 4), sessions_part, pa.table({})
+        ).to_pandas()
     out = out.sort_values(user_col)
     return pa.table(
         {

@@ -306,7 +306,6 @@ def token_jaccard_join(
     distinct-token Jaccard >= threshold. See module docstring."""
     import ray
     import ray.data
-    from ray.data.context import ShuffleStrategy
 
     from plakar_ray.stages.chunk import default_pool_size
 
@@ -358,7 +357,6 @@ def token_jaccard_join(
         zero_copy_batch=True,
         concurrency=default_pool_size(),
     ).materialize()
-    sets_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     # 3. prefix rows -> hash exchange on token rank -> posting-list pairs
     prefix = sets_ds.map_batches(
@@ -366,21 +364,29 @@ def token_jaccard_join(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cand = (
-        prefix.repartition(n_part, keys=["rank"], sort=False)
-        .map_batches(
-            lambda b: _posting_pairs(b, id_col),
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .repartition(n_part, keys=["id_a", "id_b"], sort=False)
-        .map_batches(
-            _dedup_pairs_block,
-            batch_size=None,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    # Packed exchanges (functions/exchange.py): prefix rows are several
+    # rows per doc — blobs keep the shuffled row count block-granular.
+    from plakar_ray.functions.exchange import packed_exchange
+
+    prefix_empty = pa.table(
+        {
+            "rank": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "k": pa.array([], type=pa.int64()),
+        }
+    )
+    pair_empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+    )
+    cand = packed_exchange(
+        packed_exchange(
+            prefix, ["rank"], n_part,
+            lambda b: _posting_pairs(b, id_col), prefix_empty,
+        ),
+        ["id_a", "id_b"], n_part, _dedup_pairs_block, pair_empty,
     )
 
     # 4. verify: two hash joins attach both rank arrays, vectorized merge

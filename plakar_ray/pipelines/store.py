@@ -86,7 +86,6 @@ def write_unique_chunks(
     import os
 
     from ray.data.aggregate import Count, Sum
-    from ray.data.context import ShuffleStrategy
 
     from plakar_ray.stages.chunk import default_pool_size
 
@@ -110,16 +109,13 @@ def write_unique_chunks(
     # Dedup by digest: hash-partition exchange (buckets co-located per
     # partition, no global sort), then a vectorized first-per-digest inside
     # each partition block.
-    chunks.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
         import ray
 
         n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
     except Exception:
         n_part = 8
-    parts = chunks.select_columns(["digest", "length", "payload"]).repartition(
-        n_part, keys=["digest"], sort=False
-    )
+    sel = chunks.select_columns(["digest", "length", "payload"])
 
     def first_per_digest_block(batch: pa.Table) -> pa.Table:
         g = batch.group_by("digest").aggregate(
@@ -144,11 +140,13 @@ def write_unique_chunks(
             }
         )
 
-    uniq = parts.map_batches(
-        first_per_digest_block,
-        batch_size=None,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # Packed exchange (functions/exchange.py): one row per chunk WITH its
+    # payload — blobs co-locate digests without a row-granular shuffle.
+    from plakar_ray.functions.exchange import packed_exchange
+
+    uniq = packed_exchange(
+        sel, ["digest"], n_part, first_per_digest_block,
+        sel.schema().base_schema.empty_table(),
     ).materialize()
 
     # Partitioned sink: one hive directory per digest-prefix bucket, written
