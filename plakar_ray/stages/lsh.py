@@ -254,14 +254,14 @@ def candidate_pairs(
 ):
     """signatures Dataset -> candidate edge Dataset (star per bucket).
 
-    The wide step is a HASH-PARTITION exchange, not a sort: band rows are
-    `repartition(n_part, keys=[band_id, band_hash(, salt)])` under Ray's
-    HASH_SHUFFLE strategy (scoped to this dataset chain via its captured
-    DataContext — the global context is untouched), which routes each bucket
-    wholly to one partition without boundary sampling or a global sort. Each
-    partition then produces its star edges with one vectorized lexsort
-    (BucketStarEdges). With salted keys a second, tiny exchange over the
-    per-sub-bucket hubs restores connectivity.
+    The wide step is a PACKED hash-partition exchange, not a sort
+    (functions/exchange.py): band rows are bucketed by
+    hash(band_id, band_hash(, salt)) map-side and shipped as one Arrow IPC
+    blob per (pack task, bucket) — each bucket's rows land wholly in one
+    partition with no boundary sampling, no global sort, and no per-row
+    shuffle cost. Each partition then produces its star edges with one
+    vectorized lexsort (BucketStarEdges). With salted keys a second, tiny
+    exchange over the per-sub-bucket hubs restores connectivity.
 
     checkpoint=True materializes the signatures first: the shuffle input is
     consumed by an all-to-all exchange and re-execution would re-run the
