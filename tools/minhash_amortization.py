@@ -94,6 +94,7 @@ def main() -> None:
         child(int(sys.argv[2]), int(sys.argv[3]))
         return
     big_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 393216
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r3"
     out: dict = {"doc_bytes": DOC_BYTES, "tiny_docs": TINY_DOCS, "big_docs": big_docs}
 
     def clean_child(level: int, docs: int, attempts: int = 3) -> dict:
@@ -137,7 +138,7 @@ def main() -> None:
     out["amdahl_predicted_8gib_efficiency"] = round(pred, 3)
     out["campaign_measured_8gib_median"] = 0.688
     print(json.dumps(out, indent=1), flush=True)
-    with open(os.path.join(REPO, "BENCH", "minhash_amortization_r3.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"minhash_amortization_{tag}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
