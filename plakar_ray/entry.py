@@ -938,10 +938,12 @@ def q_substring_dup_spans(sf_dir: str) -> pa.Table:
 
 
 def q_substring_dup_spans_winnow(sf_dir: str) -> pa.Table:
-    """Winnowed scale path of substring_dup_spans (rows-only: winnowing
-    selection has no tractable SQL analogue; its exact sibling above is the
-    fully value-checked twin, and pytest gates recall of every shared span
-    >= L + w - 1 plus the lower-bound property of the byte counts)."""
+    """Winnowed scale path of substring_dup_spans (rows-only: the rolling
+    polynomial gram hash has no SQL analogue; the winnowing SELECTION and
+    exchange tail are value-checked by substring_dup_spans_winnow_md5
+    below, the exact sibling above value-checks the stride-1 semantics,
+    and pytest gates recall of every shared span >= L + w - 1 plus the
+    lower-bound property of the byte counts)."""
     from plakar_ray.pipelines.dedup import substring_dup_spans
 
     out = (
@@ -949,6 +951,36 @@ def q_substring_dup_spans_winnow(sf_dir: str) -> pa.Table:
             _docs(sf_dir, ["doc_id", "text"]),
             gram_len=SUBSTR_GRAM_LEN,
             winnow_w=8,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "dup_spans": pa.array(out["dup_spans"], type=pa.int64()),
+            "dup_span_bytes": pa.array(out["dup_span_bytes"], type=pa.int64()),
+        }
+    )
+
+
+def q_substring_dup_spans_winnow_md5(sf_dir: str) -> pa.Table:
+    """Driver-value-checked twin of the winnowed substring path: md5u64
+    gram hashes (DuckDB md5_number_upper) + the production winnow
+    selection (leftmost window argmin) + the SAME packed gram/doc
+    exchanges and interval merge, forced distributed (local_threshold=0).
+    The oracle reproduces window minima with min() over a w-row frame on
+    (h * 2^40 + pos) composite keys — leftmost tie-break by construction —
+    so parity certifies the selection rule AND the exchange tail by value,
+    closing the one family the exact sibling's oracle could not reach."""
+    from plakar_ray.stages.evidence import substring_winnow_spans_md5
+
+    out = (
+        substring_winnow_spans_md5(
+            _docs(sf_dir, ["doc_id", "text"]),
+            gram_len=SUBSTR_GRAM_LEN,
+            winnow_w=8,
+            local_threshold=0,
         )
         .to_pandas()
         .sort_values("doc_id")
@@ -1087,6 +1119,7 @@ def queries():
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
+        "substring_dup_spans_winnow_md5": q_substring_dup_spans_winnow_md5,
         "substring_dedup_clean": q_substring_dedup_clean,
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
@@ -1741,6 +1774,63 @@ def oracle_sql():
                                <= {SUBSTR_GRAM_LEN}
                           THEN 0 ELSE 1 END AS brk
               FROM g JOIN x USING (gram)
+            ), s AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM p
+            ), spans AS (
+              SELECT doc_id, gid, max(pos) - min(pos) + {SUBSTR_GRAM_LEN} AS bytes
+              FROM s GROUP BY doc_id, gid
+            )
+            SELECT doc_id, count(*)::BIGINT AS dup_spans,
+                   sum(bytes)::BIGINT AS dup_span_bytes
+            FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Winnowed twin: md5_number_upper gram hashes; winnow selection =
+        # leftmost argmin of every w-row window of each doc's gram-hash
+        # sequence (whole-sequence argmin when it is shorter than w),
+        # reproduced with min() over a w-row frame on h * 2^40 + pos
+        # composites — the minimal composite's low bits ARE the leftmost
+        # minimal position. Anchors need a full window (pos <= v - w).
+        # Matching and the gaps-and-islands merge are the exact sibling's,
+        # at merge_gap = L + w - 1.
+        "substring_dup_spans_winnow_md5": f"""
+            WITH g AS (
+              SELECT d.doc_id, g.i::BIGINT AS pos,
+                     md5_number_upper(substr(d.text, (g.i + 1)::INT,
+                                             {SUBSTR_GRAM_LEN}))::HUGEINT AS h,
+                     (octet_length(d.text::BLOB) - {SUBSTR_GRAM_LEN} + 1)::BIGINT AS v
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(octet_length(d.text::BLOB) - {SUBSTR_GRAM_LEN} + 1)) AS i
+              ) g
+              WHERE octet_length(d.text::BLOB) >= {SUBSTR_GRAM_LEN}
+            ), win AS (
+              SELECT doc_id, pos, v,
+                     min(h * 1099511627776::HUGEINT + pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mk
+              FROM g
+            ), sel AS (
+              SELECT DISTINCT doc_id, (mk % 1099511627776::HUGEINT)::BIGINT AS pos
+              FROM win WHERE pos <= v - 8
+              UNION
+              SELECT doc_id,
+                     (min(h * 1099511627776::HUGEINT + pos)
+                      % 1099511627776::HUGEINT)::BIGINT AS pos
+              FROM g WHERE v <= 8 GROUP BY doc_id
+            ), selg AS (
+              SELECT s.doc_id, s.pos, g.h
+              FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos
+            ), x AS (
+              SELECT h FROM selg GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            ), p AS (
+              SELECT sg.doc_id, sg.pos,
+                     CASE WHEN sg.pos - lag(sg.pos) OVER (
+                              PARTITION BY sg.doc_id ORDER BY sg.pos)
+                               <= {SUBSTR_GRAM_LEN + 7}
+                          THEN 0 ELSE 1 END AS brk
+              FROM selg sg JOIN x USING (h)
             ), s AS (
               SELECT doc_id, pos,
                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid

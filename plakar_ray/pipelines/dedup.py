@@ -857,6 +857,32 @@ def substring_dup_spans(
     L = int(gram_len)
     merge_gap = L + max(0, int(winnow_w) - 1)
 
+    grams = ds.map_batches(
+        lambda b: _gram_rows_batch(b, L, id_col, text_col, int(winnow_w)),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return spans_from_gram_rows(grams, L, merge_gap, id_col, local_threshold)
+
+
+def spans_from_gram_rows(
+    grams,
+    span_len: int,
+    merge_gap: int,
+    id_col: str = "doc_id",
+    local_threshold: int = 2_000_000,
+):
+    """(gram64, id, pos) row Dataset -> (id, dup_spans, dup_span_bytes):
+    the exchange tail of substring_dup_spans, shared with its md5 evidence
+    twin (stages/evidence.substring_winnow_spans_md5) so the driver's SQL
+    gate value-checks the SAME gram exchange, cross-doc matching, and
+    interval merge that the production gram front-ends feed."""
+    import ray
+    import ray.data
+
+    L = int(span_len)
+
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -866,13 +892,6 @@ def substring_dup_spans(
     # n_part — size it to the cluster, not a fraction of it. The doc-keyed
     # second exchange carries only duplicated positions (tiny).
     n_part = max(8, cpus)
-
-    grams = ds.map_batches(
-        lambda b: _gram_rows_batch(b, L, id_col, text_col, int(winnow_w)),
-        batch_size=batch_size,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
 
     if local_threshold:
         # The size gate needs a count, hence a materialize; the distributed

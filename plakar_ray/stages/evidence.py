@@ -304,3 +304,109 @@ def srp_candidate_pairs_md5(
         batch_format="pyarrow",
     )
     return pieces_to_pairs(pieces, max_hamming=n_bits, id_col=id_col, n_bits=n_bits)
+
+
+def _md5_gram_winnow_batch(
+    batch: pa.Table, gram_len: int, winnow_w: int, id_col: str, text_col: str
+) -> pa.Table:
+    """One (gram64, id, pos) row per winnow-SELECTED stride-1 gram, with the
+    md5u64 gram-hash family DuckDB reproduces exactly (md5_number_upper).
+
+    The selection rule is the production one — leftmost argmin of every
+    length-w window of the doc's gram-hash sequence, whole-sequence argmin
+    when it is shorter than w (pipelines.dedup._window_argmin_select, the
+    numpy form differential-tested equal to the native winnow kernel) — so
+    oracle parity value-checks the winnowing selection itself, not just the
+    exchange tail it feeds. Window md5s are batched through the native
+    OpenSSL segment kernel (_native/sha.c) with a hashlib fallback."""
+    from plakar_ray import _native
+    from plakar_ray.functions.arrowbytes import byte_views
+    from plakar_ray.pipelines.dedup import _window_argmin_select
+
+    L = int(gram_len)
+    w = int(winnow_w)
+    empty = pa.table(
+        {
+            "gram64": pa.array([], type=pa.uint64()),
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    data, offsets = byte_views(batch.column(text_col))
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    valid = np.maximum(lens - L + 1, 0).astype(np.int64)
+    total = int(valid.sum())
+    if total == 0:
+        return empty
+    # Stride-1 window bytes, one contiguous (total, L) matrix per batch.
+    mats = []
+    for d in range(lens.size):
+        v = int(valid[d])
+        if v == 0:
+            continue
+        seg = data[offsets[d] : offsets[d + 1]]
+        mats.append(np.lib.stride_tricks.sliding_window_view(seg, L)[:v])
+    stream = np.ascontiguousarray(np.concatenate(mats)).reshape(-1)
+    lib = _native.load_sha()
+    if lib is not None and hasattr(lib, "md5_segments_full"):
+        dig = _native.md5_segments_full(
+            lib, np.full(total, L, dtype=np.int64), stream
+        )
+    else:
+        dig = np.empty((total, 16), dtype=np.uint8)
+        mv = memoryview(stream)
+        for j in range(total):
+            dig[j] = np.frombuffer(
+                hashlib.md5(mv[j * L : (j + 1) * L]).digest(), dtype=np.uint8
+            )
+    h_all = np.ascontiguousarray(dig[:, :8]).view("<u8").reshape(-1)
+    hs, ds_, ps = [], [], []
+    start = 0
+    for d in range(lens.size):
+        v = int(valid[d])
+        if v == 0:
+            continue
+        seg = h_all[start : start + v]
+        start += v
+        sel = _window_argmin_select(seg, w)
+        hs.append(seg[sel])
+        ds_.append(np.full(sel.size, ids[d], dtype=np.int64))
+        ps.append(sel)
+    return pa.table(
+        {
+            "gram64": pa.array(np.concatenate(hs), type=pa.uint64()),
+            id_col: pa.array(np.concatenate(ds_), type=pa.int64()),
+            "pos": pa.array(np.concatenate(ps), type=pa.int64()),
+        }
+    )
+
+
+def substring_winnow_spans_md5(
+    ds,
+    gram_len: int = 24,
+    winnow_w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    local_threshold: int = 2_000_000,
+):
+    """SQL-checkable twin of substring_dup_spans(winnow_w=w): md5u64 gram
+    hashes + the production winnow selection feed the SAME packed
+    gram-keyed / doc-keyed exchange tail (pipelines.dedup.
+    spans_from_gram_rows). DuckDB reproduces the full result — window
+    minima via min() over a w-row frame on (h * 2^40 + pos) composites
+    (leftmost tie-break by construction), whole-sequence argmin for docs
+    shorter than w, then the shared gaps-and-islands merge at
+    merge_gap = L + w - 1."""
+    from plakar_ray.pipelines.dedup import spans_from_gram_rows
+
+    L = int(gram_len)
+    merge_gap = L + max(0, int(winnow_w) - 1)
+    grams = ds.map_batches(
+        lambda b: _md5_gram_winnow_batch(b, L, int(winnow_w), id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return spans_from_gram_rows(grams, L, merge_gap, id_col, local_threshold)

@@ -120,3 +120,78 @@ def test_md5_clusters_salted_path_identical(ray_session):
     )
     assert plain.num_rows > 0
     assert plain.equals(salted)
+
+
+def test_md5_gram_winnow_batch_matches_bruteforce():
+    """_md5_gram_winnow_batch: md5u64 window hashes (native kernel or
+    hashlib) + production winnow selection == brute-force per-window
+    leftmost argmin over hashlib md5 values."""
+    import hashlib
+
+    L, w = 8, 4
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "aaaaaaaaaaaaaaaaaaaaaa",  # constant: tie-breaking exercised
+        "short",  # < L: no grams
+        "exactlyLen",  # v < w: whole-sequence argmin
+    ]
+    out = ev._md5_gram_winnow_batch(_batch(texts), L, w, "doc_id", "text")
+    got = {
+        (i, p): g
+        for g, i, p in zip(
+            out.column("gram64").to_pylist(),
+            out.column("doc_id").to_pylist(),
+            out.column("pos").to_pylist(),
+        )
+    }
+    want = {}
+    for d, t in enumerate(texts):
+        b = t.encode()
+        v = len(b) - L + 1
+        if v <= 0:
+            continue
+        hs = [
+            int.from_bytes(hashlib.md5(b[i : i + L]).digest()[:8], "little")
+            for i in range(v)
+        ]
+        if v <= w:
+            sel = {min(range(v), key=lambda i: (hs[i], i))}
+        else:
+            sel = {
+                min(range(k, k + w), key=lambda i: (hs[i], i))
+                for k in range(v - w + 1)
+            }
+        for p in sel:
+            want[(d, p)] = hs[p]
+    assert got == want
+
+
+def test_winnow_spans_md5_distributed_path_identical(ray_session):
+    """substring_winnow_spans_md5: the size-gated driver-local tail (what
+    the DuckDB oracle value-checks) and the forced packed-exchange tail
+    produce identical span tables."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def run(threshold):
+        out = (
+            ev.substring_winnow_spans_md5(
+                ray.data.from_arrow(t), gram_len=24, winnow_w=8,
+                local_threshold=threshold,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return out
+
+    local = run(2_000_000)
+    dist = run(0)
+    assert len(local) > 0
+    assert local.equals(dist)
