@@ -1019,6 +1019,46 @@ def q_substring_dedup_clean(sf_dir: str) -> pa.Table:
     )
 
 
+def q_paragraph_dedup_stats(sf_dir: str) -> pa.Table:
+    """Paragraph-granularity dup profile (CCNet/RefinedWeb line dedup,
+    measure side): per doc, total paragraphs and how many occurrences /
+    bytes belong to paragraphs duplicated corpus-wide. One packed
+    exchange keyed on the paragraph md5; SQL oracle partitions by the raw
+    paragraph string, so the hash itself is value-certified."""
+    from plakar_ray.pipelines.paragraphs import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_paragraph_dedup_clean(sf_dir: str) -> pa.Table:
+    """The paragraph-dedup TRANSFORM: keep only the globally first
+    (smallest (doc_id, index)) occurrence of every duplicated non-empty
+    paragraph, rebuild each doc as newline-join of the kept paragraphs;
+    cleaned-text md5 value-checked byte-exactly against DuckDB's
+    string_agg reconstruction."""
+    from plakar_ray.pipelines.paragraphs import paragraph_dedup_clean
+
+    out = (
+        paragraph_dedup_clean(_docs(sf_dir, ["doc_id", "text"]))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            "kept_paras": pa.array(out["kept_paras"].to_numpy(), type=pa.int64()),
+            "removed_paras": pa.array(
+                out["removed_paras"].to_numpy(), type=pa.int64()
+            ),
+            "kept_bytes": pa.array(out["kept_bytes"].to_numpy(), type=pa.int64()),
+            "removed_bytes": pa.array(
+                out["removed_bytes"].to_numpy(), type=pa.int64()
+            ),
+            "cleaned_md5": pa.array(out["cleaned_md5"]),
+        }
+    )
+
+
 def q_url_snapshot_dedup(sf_dir: str) -> pa.Table:
     """Crawl URL canonicalization + snapshot dedup: deterministic messy
     URLs (mixed-case host, :443, utm params, fragments, trailing slash)
@@ -1121,6 +1161,8 @@ def queries():
         "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
         "substring_dup_spans_winnow_md5": q_substring_dup_spans_winnow_md5,
         "substring_dedup_clean": q_substring_dedup_clean,
+        "paragraph_dedup_stats": q_paragraph_dedup_stats,
+        "paragraph_dedup_clean": q_paragraph_dedup_clean,
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
@@ -1703,6 +1745,52 @@ def oracle_sql():
             LEFT JOIN acct a ON a.doc_id = d.doc_id
             GROUP BY d.doc_id, a.removed_spans, a.removed_bytes, octet_length(d.text::BLOB)
             ORDER BY d.doc_id
+        """,
+        # Paragraph dedup (CCNet/RefinedWeb line dedup): the oracle
+        # partitions by the RAW paragraph string, so the Ray side's
+        # md5-128 identity is value-certified, not assumed. Empty
+        # paragraphs (blank lines) are never candidates — they carry
+        # document structure and are always kept (both engines).
+        "paragraph_dedup_stats": """
+            WITH paras AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS para
+              FROM documents
+            ), counted AS (
+              SELECT doc_id, para, strlen(para)::BIGINT AS nb,
+                     count(*) OVER (PARTITION BY para) AS cnt
+              FROM paras
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_paras,
+                   (count(*) FILTER (WHERE nb > 0 AND cnt >= 2))::BIGINT AS dup_paras,
+                   coalesce(sum(nb) FILTER (WHERE nb > 0 AND cnt >= 2), 0)::BIGINT AS dup_bytes
+            FROM counted GROUP BY doc_id ORDER BY doc_id
+        """,
+        # keep = first occurrence by (doc_id, idx) of each non-empty
+        # paragraph; cleaned text = newline-join of kept paragraphs
+        # (string_agg ORDER BY idx), md5-compared byte-exactly.
+        "paragraph_dedup_clean": """
+            WITH paras AS (
+              SELECT doc_id, text,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx
+              FROM documents
+            ), flagged AS (
+              SELECT doc_id, text, idx, para,
+                     (strlen(para) = 0
+                      OR row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) AS keep
+              FROM paras
+            ), rebuilt AS (
+              SELECT doc_id, any_value(text) AS text,
+                     coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS cleaned,
+                     (count(*) FILTER (WHERE keep))::BIGINT AS kept_paras,
+                     (count(*) FILTER (WHERE NOT keep))::BIGINT AS removed_paras
+              FROM flagged GROUP BY doc_id
+            )
+            SELECT doc_id, kept_paras, removed_paras,
+                   strlen(cleaned)::BIGINT AS kept_bytes,
+                   (strlen(text) - strlen(cleaned))::BIGINT AS removed_bytes,
+                   md5(cleaned) AS cleaned_md5
+            FROM rebuilt ORDER BY doc_id
         """,
         # Same raw-URL construction (integer CASE over doc_id) and the SAME
         # ordered RE2 rewrite chain as pipelines/pages.py:URL_CANON_RULES

@@ -1,0 +1,135 @@
+"""Paragraph-level dedup (pipelines/paragraphs.py): DuckDB value parity on
+an edge-case corpus (unicode, blank lines, empty docs, all-dup docs,
+trailing newlines), plus forced-distributed == gated-local equivalence.
+
+The DuckDB oracles here are the SAME SQL entry.py registers for the
+driver gate — identity is checked against the raw paragraph STRING, so
+the Ray side's md5-128 grouping is value-certified."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from plakar_ray.pipelines.paragraphs import (
+    paragraph_dedup_clean,
+    paragraph_dedup_stats,
+)
+
+DOCS = [
+    (0, "hello world\ncommon para\nunique zero"),
+    (1, "common para\n\nhello world\nunique one"),
+    (2, "héllo wörld ünïcode\ncommon para\nhéllo wörld ünïcode"),
+    (3, ""),  # empty doc -> one empty paragraph, always kept
+    (4, "common para"),  # doc that is entirely one duplicated paragraph
+    (5, "\n\n"),  # only blank lines -> nothing is a candidate
+    (6, "unique six\ncommon para\n"),  # trailing newline -> trailing empty para
+    (7, "a\na\na"),  # intra-document duplication only
+]
+
+STATS_SQL = """
+WITH paras AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS para FROM documents
+), counted AS (
+  SELECT doc_id, para, strlen(para)::BIGINT AS nb,
+         count(*) OVER (PARTITION BY para) AS cnt
+  FROM paras
+)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       (count(*) FILTER (WHERE nb > 0 AND cnt >= 2))::BIGINT AS dup_paras,
+       coalesce(sum(nb) FILTER (WHERE nb > 0 AND cnt >= 2), 0)::BIGINT AS dup_bytes
+FROM counted GROUP BY doc_id ORDER BY doc_id
+"""
+
+CLEAN_SQL = """
+WITH paras AS (
+  SELECT doc_id, text,
+         unnest(string_split(text, chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)), 1) AS idx
+  FROM documents
+), flagged AS (
+  SELECT doc_id, text, idx, para,
+         (strlen(para) = 0
+          OR row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) AS keep
+  FROM paras
+), rebuilt AS (
+  SELECT doc_id, any_value(text) AS text,
+         coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS cleaned,
+         (count(*) FILTER (WHERE keep))::BIGINT AS kept_paras,
+         (count(*) FILTER (WHERE NOT keep))::BIGINT AS removed_paras
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, kept_paras, removed_paras,
+       strlen(cleaned)::BIGINT AS kept_bytes,
+       (strlen(text) - strlen(cleaned))::BIGINT AS removed_bytes,
+       md5(cleaned) AS cleaned_md5, cleaned
+FROM rebuilt ORDER BY doc_id
+"""
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in DOCS], type=pa.int64()),
+            "text": pa.array([d[1] for d in DOCS], type=pa.large_string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    stats = con.execute(STATS_SQL).df()
+    clean = con.execute(CLEAN_SQL).df()
+    con.close()
+    return stats, clean
+
+
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0])
+def test_stats_matches_duckdb(ray_session, corpus, oracle, local_threshold):
+    import ray.data
+
+    ds = ray.data.from_arrow(corpus)
+    got = (
+        paragraph_dedup_stats(ds, local_threshold=local_threshold)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, oracle[0], check_dtype=False)
+
+
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0])
+def test_clean_matches_duckdb(ray_session, corpus, oracle, local_threshold):
+    import ray.data
+
+    ds = ray.data.from_arrow(corpus)
+    got = (
+        paragraph_dedup_clean(ds, local_threshold=local_threshold, emit_text=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = oracle[1].rename(columns={"cleaned": "cleaned_text"})
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+
+
+def test_clean_semantics_spotchecks(ray_session, corpus):
+    """Human-readable anchors: first occurrence kept, blank lines kept,
+    intra-doc duplicates removed, join removes exactly one separator."""
+    import ray.data
+
+    ds = ray.data.from_arrow(corpus)
+    got = (
+        paragraph_dedup_clean(ds, emit_text=True)
+        .to_pandas()
+        .set_index("doc_id")["cleaned_text"]
+    )
+    assert got[0] == "hello world\ncommon para\nunique zero"  # first wins
+    assert got[1] == "\nunique one"  # blank line kept, dups removed
+    assert got[4] == ""  # whole doc was a duplicated paragraph
+    assert got[5] == "\n\n"  # blank-only doc untouched
+    assert got[7] == "a"  # intra-doc dedup keeps first of three
