@@ -712,6 +712,43 @@ def q_unique_chunk_store(sf_dir: str) -> pa.Table:
     )
 
 
+def q_store_delta_ingest(sf_dir: str) -> pa.Table:
+    """Incremental ingest: build the content-addressed store from snapshot
+    A (doc_id % 3 != 0), then ingest snapshot B (doc_id % 3 == 0) against
+    it — the continuous-crawl dedup shape. The anti-join runs
+    co-partitioned on the store's own digest-prefix buckets (the store
+    digest set is never broadcast or driver-materialized). Fixed chunker
+    so the accounting is SQL-expressible; the CDC variant + byte-exact
+    restore-after-ingest are exercised by tests/test_store.py."""
+    import tempfile
+
+    from plakar_ray.pipelines.store import ingest_delta, write_unique_chunks
+
+    def _residue(keep_zero: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            r = (ids % 3) == 0
+            return b.filter(pa.array(r if keep_zero else ~r))
+
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    snap_a = docs.map_batches(
+        _residue(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    snap_b = docs.map_batches(
+        _residue(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    with tempfile.TemporaryDirectory(prefix="plakar_delta_") as out:
+        write_unique_chunks(
+            snap_a, out, "fixed-v1.0.0", ChunkerOpts(normal_size=FIXED_SIZE)
+        )
+        s = ingest_delta(
+            snap_b, out, "fixed-v1.0.0", ChunkerOpts(normal_size=FIXED_SIZE)
+        )
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in s.items()})
+
+
 def q_orders_by_region(sf_dir: str) -> pa.Table:
     """Broadcast-join demo on the star schema: orders -> customer -> nation
     -> region (all dimension sides broadcast, fact side streams; the
@@ -1163,6 +1200,7 @@ def queries():
         "substring_dedup_clean": q_substring_dedup_clean,
         "paragraph_dedup_stats": q_paragraph_dedup_stats,
         "paragraph_dedup_clean": q_paragraph_dedup_clean,
+        "store_delta_ingest": q_store_delta_ingest,
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
@@ -1791,6 +1829,39 @@ def oracle_sql():
                    (strlen(text) - strlen(cleaned))::BIGINT AS removed_bytes,
                    md5(cleaned) AS cleaned_md5
             FROM rebuilt ORDER BY doc_id
+        """,
+        # Incremental store ingest: snapshot A (doc_id % 3 != 0) is the
+        # existing store's content set; snapshot B is ingested against it.
+        # Chunk identity compares the raw chunk CONTENT (testdata text is
+        # ASCII, so char-based substr is byte-exact), certifying the Ray
+        # side's sha256 identity by value. Occurrence semantics: a B-chunk
+        # is dup_vs_store iff its content existed in A; intra-B repeats of
+        # a new chunk count as new occurrences.
+        "store_delta_ingest": f"""
+            WITH chunks AS (
+              SELECT d.doc_id,
+                     substr(d.text, (g.i * {FIXED_SIZE} + 1)::INT, {FIXED_SIZE}) AS content,
+                     least({FIXED_SIZE}, length(d.text) - g.i * {FIXED_SIZE})::BIGINT AS len
+              FROM documents d
+              CROSS JOIN LATERAL (
+                SELECT unnest(range(CAST(ceil(length(d.text) / {FIXED_SIZE}.0) AS BIGINT))) AS i
+              ) g
+              WHERE length(d.text) > 0
+            ), astore AS (
+              SELECT DISTINCT content FROM chunks WHERE doc_id % 3 != 0
+            ), b AS (
+              SELECT content, len,
+                     content IN (SELECT content FROM astore) AS in_store
+              FROM chunks WHERE doc_id % 3 = 0
+            ), newu AS (
+              SELECT content, min(len) AS len FROM b WHERE NOT in_store GROUP BY content
+            )
+            SELECT (SELECT count(*) FROM b)::BIGINT AS ingested_chunks,
+                   (SELECT coalesce(sum(len), 0) FROM b)::BIGINT AS ingested_bytes,
+                   (SELECT count(*) FILTER (WHERE in_store) FROM b)::BIGINT AS dup_vs_store_chunks,
+                   (SELECT coalesce(sum(len) FILTER (WHERE in_store), 0) FROM b)::BIGINT AS dup_vs_store_bytes,
+                   (SELECT count(*) FROM newu)::BIGINT AS new_unique_chunks,
+                   (SELECT coalesce(sum(len), 0) FROM newu)::BIGINT AS new_unique_bytes
         """,
         # Same raw-URL construction (integer CASE over doc_id) and the SAME
         # ordered RE2 rewrite chain as pipelines/pages.py:URL_CANON_RULES

@@ -169,6 +169,176 @@ def write_unique_chunks(
     }
 
 
+def ingest_delta(
+    ds,
+    out_dir: str,
+    algo: str = "fastcdc",
+    opts: ChunkerOpts | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental ingest: dedup a NEW snapshot against an EXISTING store
+    and append only the chunks the store has never seen — the continuous-
+    crawl shape (yesterday's corpus is stored; today's recrawl mostly
+    repeats it).
+
+    Scale design: the store's digest set is never broadcast or driver-
+    materialized. New chunks are exchanged keyed on their digest-PREFIX
+    bucket — the same partitioning the store is laid out in — so each
+    reduce partition anti-joins its chunks against ONLY the store files
+    of its own buckets (a co-partitioned semi-join; at 10^12 stored
+    chunks a partition reads its buckets' digest column, nothing else).
+    Appends are new parquet files in existing bucket directories
+    (resumable, no rewrite); recipes for the new snapshot are appended
+    alongside so restore_document covers both snapshots.
+
+    Returns occurrence- and store-level accounting:
+    ingested_chunks/bytes (all new-snapshot chunks), dup_vs_store_*
+    (occurrences whose digest the store already had BEFORE this ingest;
+    intra-snapshot repeats of a new digest count as new occurrences),
+    new_unique_* (distinct digests appended)."""
+    import glob
+    import json
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from plakar_ray.functions.exchange import packed_exchange
+    from plakar_ray.stages.chunk import default_pool_size
+
+    with open(os.path.join(out_dir, "store_meta.json")) as f:
+        prefix_bits = int(json.load(f)["prefix_bits"])
+
+    chunks = ds.map_batches(
+        _ChunkWithBytes,
+        fn_constructor_kwargs=dict(algo=algo, opts=opts, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_pool_size(),
+    ).materialize()
+
+    totals = chunks.aggregate(Count(), Sum("length"))
+    ingested_chunks = int(totals["count()"])
+    ingested_bytes = int(totals["sum(length)"] or 0)
+
+    chunks.select_columns(
+        [id_col, "chunk_idx", "offset", "length", "digest"]
+    ).write_parquet(os.path.join(out_dir, "recipes"))
+
+    try:
+        import ray
+
+        n_part = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    except Exception:
+        n_part = 8
+    sel = chunks.select_columns(["digest", "length", "payload"])
+
+    def _digest_s32(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return np.asarray(col.to_numpy(zero_copy_only=False), dtype="S32")
+
+    def _bucket_of(dig: np.ndarray) -> np.ndarray:
+        first = dig.view(np.uint8).reshape(dig.size, 32)[:, 0] if dig.size else np.empty(0, np.uint8)
+        return (first >> (8 - prefix_bits)).astype(np.int64)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sbucket",
+            pa.array(_bucket_of(_digest_s32(batch.column("digest"))), type=pa.int64()),
+        )
+
+    keyed = sel.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema(
+        [
+            ("digest", sel.schema().base_schema.field("digest").type),
+            ("length", pa.int64()),
+            ("payload", pa.large_binary()),
+            ("bucket", pa.int32()),
+            ("occ", pa.int64()),
+            ("occ_bytes", pa.int64()),
+        ]
+    )
+
+    def delta_partition(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        dig = _digest_s32(batch.column("digest"))
+        bkt = _bucket_of(dig)
+        stored = []
+        for b in np.unique(bkt):
+            paths = glob.glob(f"{out_dir}/store/bucket={int(b)}/*.parquet")
+            if not paths:
+                continue
+            import pyarrow.dataset as pads
+
+            stored.append(
+                _digest_s32(pads.dataset(paths).to_table(columns=["digest"]).column("digest"))
+            )
+        known = np.concatenate(stored) if stored else np.empty(0, dtype="S32")
+        fresh = ~np.isin(dig, known)
+        if not fresh.any():
+            return out_schema.empty_table()
+        t = batch.filter(pa.array(fresh))
+        fdig, fbkt = dig[fresh], bkt[fresh]
+        lens = t.column("length").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(fdig, kind="stable")
+        sd = fdig[order]
+        first = np.empty(sd.size, dtype=bool)
+        first[0] = True
+        first[1:] = sd[1:] != sd[:-1]
+        gstart = np.flatnonzero(first)
+        gsize = np.diff(np.append(gstart, sd.size))
+        rep = order[gstart]  # first occurrence row per distinct new digest
+        occ_bytes = np.add.reduceat(lens[order], gstart)
+        u = t.take(pa.array(rep))
+        return pa.table(
+            {
+                "digest": u.column("digest"),
+                "length": u.column("length").cast(pa.int64()),
+                "payload": u.column("payload").cast(pa.large_binary()),
+                "bucket": pa.array(fbkt[rep].astype(np.int32), type=pa.int32()),
+                "occ": pa.array(gsize.astype(np.int64), type=pa.int64()),
+                "occ_bytes": pa.array(occ_bytes.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    keyed_empty = pa.schema(
+        [
+            ("digest", sel.schema().base_schema.field("digest").type),
+            ("length", sel.schema().base_schema.field("length").type),
+            ("payload", sel.schema().base_schema.field("payload").type),
+            ("sbucket", pa.int64()),
+        ]
+    ).empty_table()
+    new_unique = packed_exchange(
+        keyed, ["sbucket"], n_part, delta_partition, keyed_empty
+    ).materialize()
+
+    agg = new_unique.aggregate(
+        Count(), Sum("length"), Sum("occ"), Sum("occ_bytes")
+    )
+    new_unique_chunks = int(agg["count()"])
+    new_unique_bytes = int(agg["sum(length)"] or 0)
+    new_occ = int(agg["sum(occ)"] or 0)
+    new_occ_bytes = int(agg["sum(occ_bytes)"] or 0)
+
+    if new_unique_chunks:
+        new_unique.select_columns(
+            ["digest", "length", "payload", "bucket"]
+        ).write_parquet(os.path.join(out_dir, "store"), partition_cols=["bucket"])
+
+    return {
+        "ingested_chunks": ingested_chunks,
+        "ingested_bytes": ingested_bytes,
+        "dup_vs_store_chunks": ingested_chunks - new_occ,
+        "dup_vs_store_bytes": ingested_bytes - new_occ_bytes,
+        "new_unique_chunks": new_unique_chunks,
+        "new_unique_bytes": new_unique_bytes,
+    }
+
+
 def store_paths_for_digests(out_dir: str, digests: list[bytes]) -> list[str]:
     """Only the store files whose digest-prefix bucket can contain one of
     `digests` — the pruning the bucket partitioning exists for. Falls back

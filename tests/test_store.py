@@ -126,3 +126,80 @@ def test_restore_prunes_to_needed_buckets(ray_session, tmp_path):
     one = store_paths_for_digests(out, digests[:1])
     assert {int(p.split("bucket=")[1].split("/")[0]) for p in one} == {digests[0][0] >> 4}
     assert restore_document(out, 3) == texts[3].encode()
+
+
+def test_ingest_delta_cdc_and_restore(ray_session, tmp_path):
+    """Incremental ingest (pipelines/store.py:ingest_delta): CDC-chunked
+    snapshot B deduped against snapshot A's store — accounting matches a
+    brute-force digest comparison, both snapshots restore byte-exactly
+    after the append, and re-ingesting B is a no-op (idempotent delta)."""
+    import hashlib
+
+    import ray.data
+
+    from plakar_ray.opts import ChunkerOpts
+    from plakar_ray.oracle import chunk_lengths_oracle
+    from plakar_ray.pipelines.store import (
+        ingest_delta,
+        restore_document,
+        write_unique_chunks,
+    )
+
+    rng = np.random.default_rng(97)
+    base = ["".join(chr(97 + c) for c in rng.integers(0, 26, 6000)) for _ in range(8)]
+    # snapshot B: two docs unchanged from A, two edited mid-doc (shared
+    # prefix/suffix chunks resync), two brand new
+    edited = [t[:2000] + "EDITMARKER" + t[2000:] for t in base[2:4]]
+    fresh = ["".join(chr(97 + c) for c in rng.integers(0, 26, 6000)) for _ in range(2)]
+    a_texts, b_texts = base, base[:2] + edited + fresh
+    opts = ChunkerOpts(128, 2048, 512)
+
+    def table(texts, id0):
+        return pa.table(
+            {
+                "doc_id": pa.array(range(id0, id0 + len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+
+    out = str(tmp_path / "delta_store")
+    write_unique_chunks(
+        ray.data.from_arrow(table(a_texts, 0)), out, "fastcdc-v1.0.0", opts
+    )
+    s = ingest_delta(
+        ray.data.from_arrow(table(b_texts, 100)), out, "fastcdc-v1.0.0", opts
+    )
+
+    # Brute-force oracle over exact per-doc chunk digests.
+    def digests(texts):
+        out_d = []
+        for t in texts:
+            data = t.encode()
+            off = 0
+            for ln in chunk_lengths_oracle("fastcdc-v1.0.0", data, opts):
+                out_d.append(hashlib.sha256(data[off : off + ln]).digest())
+                off += ln
+        return out_d
+
+    da, db = digests(a_texts), digests(b_texts)
+    a_set = set(da)
+    dup = sum(1 for d in db if d in a_set)
+    new_unique = len({d for d in db if d not in a_set})
+    assert s["ingested_chunks"] == len(db)
+    assert s["dup_vs_store_chunks"] == dup
+    assert s["new_unique_chunks"] == new_unique
+    assert s["dup_vs_store_chunks"] > 0  # shared + resynced chunks found
+    assert s["new_unique_chunks"] > 0
+
+    # Byte-exact restore across BOTH snapshots after the append.
+    assert restore_document(out, 1) == a_texts[1].encode()
+    assert restore_document(out, 100) == b_texts[0].encode()
+    assert restore_document(out, 102) == b_texts[2].encode()
+    assert restore_document(out, 105) == b_texts[5].encode()
+
+    # Idempotent: a second ingest of the same snapshot adds nothing.
+    s2 = ingest_delta(
+        ray.data.from_arrow(table(b_texts, 200)), out, "fastcdc-v1.0.0", opts
+    )
+    assert s2["new_unique_chunks"] == 0
+    assert s2["dup_vs_store_chunks"] == s2["ingested_chunks"]
