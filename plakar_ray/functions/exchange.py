@@ -63,20 +63,29 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _column_u64(col) -> np.ndarray:
-    """Key column -> one u64 per row (ints pass through; string/binary
-    keys fold via vectorized FNV-1a over their S-dtype padded bytes —
-    NUL-pad aliasing can only merge buckets, never split a key)."""
+    """Key column -> one u64 per row. Ints pass through; string/binary
+    keys hash their ACTUAL bytes (length-aware vectorized FNV-1a), so a
+    key's value — and therefore its bucket — is identical no matter which
+    block it appears in or what other keys share the block. (An earlier
+    version folded numpy S-dtype padded bytes, whose width is the BLOCK
+    maximum — the same key could land in different buckets across blocks,
+    silently splitting its reduce group for variable-width key columns.)"""
     t = col.type
     if pa.types.is_integer(t):
         return col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-    s = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.bytes_)
-    if s.dtype.itemsize == 0:
-        return np.zeros(len(s), dtype=np.uint64)
-    b = s.view(np.uint8).reshape(len(s), s.dtype.itemsize)
-    h = np.full(len(s), _FNV_OFF, dtype=np.uint64)
-    for j in range(b.shape[1]):
-        h = (h ^ b[:, j]) * _FNV_PRIME
-    return h
+    if pa.types.is_fixed_size_binary(t):
+        w = t.byte_width
+        raw = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        b = raw[col.offset * w : (col.offset + len(col)) * w].reshape(len(col), w)
+        h = np.full(len(col), _FNV_OFF, dtype=np.uint64)
+        for j in range(w):
+            h = (h ^ b[:, j]) * _FNV_PRIME
+        return h
+    from plakar_ray.functions.arrowbytes import byte_views
+    from plakar_ray.functions.strhash import fnv1a64_slices
+
+    data, offsets = byte_views(col)
+    return fnv1a64_slices(offsets[:-1], offsets[1:], data)
 
 
 def bucket_ids(batch: pa.Table, key_cols: list[str], n_buckets: int) -> np.ndarray:

@@ -143,7 +143,9 @@ def asof_join(
     import ray
 
     if not isinstance(right, pa.Table):
-        right_ds = right
+        # materialize before count(): the gate must not execute the right
+        # side's lineage once for the count and again for consumption
+        right_ds = right.materialize()
         if right_ds.count() > broadcast_threshold:
             return _asof_join_coshuffle(
                 left_ds, right_ds, key_col, ts_col, value_cols, prefix
@@ -188,7 +190,10 @@ def asof_join(
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = keys.shape[0]
-        match_ts = np.full(n, -1, dtype=np.int64)
+        match_ts = np.zeros(n, dtype=np.int64)
+        # explicit hit mask, NOT a -1 sentinel: a pre-epoch right ts is a
+        # legitimate negative-microsecond match
+        hit = np.zeros(n, dtype=bool)
         out_vals = {c: np.full(n, np.nan, dtype=np.float64) for c in value_cols}
         order = np.lexsort((ts, keys))
         sk = keys[order]
@@ -205,14 +210,13 @@ def asof_join(
             ok = j >= 0
             rr, jj = rows[ok], j[ok]
             match_ts[rr] = t_arr[jj]
+            hit[rr] = True
             for c in value_cols:
                 out_vals[c][rr] = vals[c][jj]
-        miss = match_ts < 0
+        miss = ~hit
         out = batch.append_column(
             prefix + "ts",
-            pa.array(np.where(miss, 0, match_ts), type=pa.int64(), mask=miss).cast(
-                pa.timestamp("us")
-            ),
+            pa.array(match_ts, type=pa.int64(), mask=miss).cast(pa.timestamp("us")),
         )
         for c in value_cols:
             out = out.append_column(
@@ -240,7 +244,6 @@ def _asof_join_coshuffle(
     path; output column set and types are identical."""
     import numpy as np
     import ray
-    from ray.data.context import ShuffleStrategy
 
     if num_partitions is None:
         try:
@@ -317,7 +320,8 @@ def _asof_join_coshuffle(
         keys = left_t.column(key_col).to_numpy(zero_copy_only=False)
         ts = left_t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = keys.shape[0]
-        match_ts = np.full(n, -1, dtype=np.int64)
+        match_ts = np.zeros(n, dtype=np.int64)
+        hit = np.zeros(n, dtype=bool)  # not a -1 sentinel: pre-epoch ts match
         out_vals = {c: np.full(n, np.nan, dtype=np.float64) for c in value_cols}
         lorder = np.lexsort((ts, keys))
         sk = keys[lorder]
@@ -335,14 +339,13 @@ def _asof_join_coshuffle(
             ok = j >= 0
             rr, jj = rows[ok], j[ok]
             match_ts[rr] = t_arr[jj]
+            hit[rr] = True
             for c in value_cols:
                 out_vals[c][rr] = rvals[c][a:b][jj]
-        miss = match_ts < 0
+        miss = ~hit
         out = left_t.append_column(
             prefix + "ts",
-            pa.array(np.where(miss, 0, match_ts), type=pa.int64(), mask=miss).cast(
-                pa.timestamp("us")
-            ),
+            pa.array(match_ts, type=pa.int64(), mask=miss).cast(pa.timestamp("us")),
         )
         for c in value_cols:
             out = out.append_column(
@@ -373,7 +376,6 @@ def sessionize(
     driver instead — identical results via the same vectorized function.
     Returns (user_id, n_sessions, n_events)."""
     import numpy as np
-    from ray.data.context import ShuffleStrategy
 
     try:
         import ray

@@ -48,11 +48,11 @@ def text_digests(ds) -> pa.Table:
     Rows tile the text column's data buffer contiguously, so the whole
     batch goes through the batched segment-sha256 kernel (native OpenSSL
     via stages.chunk.ChunkerStage._digest_segments, hashlib fallback inside) in one
-    call; hex encoding is a vectorized nibble lookup, no per-row Python."""
-
-    _HEXMAP = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    call; hex encoding is functions.strhash.hex_string_array (one shared
+    vectorized nibble-lookup encoder, no per-row Python)."""
 
     def digest(batch: pa.Table) -> pa.Table:
+        from plakar_ray.functions.strhash import hex_string_array
         from plakar_ray.stages.chunk import ChunkerStage
 
         data, offsets = byte_views(batch.column("text"))
@@ -60,12 +60,9 @@ def text_digests(ds) -> pa.Table:
         stream = data[offsets[0] : offsets[-1]] if n else data[:0]
         lengths = np.diff(offsets)
         d32 = ChunkerStage._digest_segments(lengths, stream)
-        hx = np.empty((n, 64), dtype=np.uint8)
-        hx[:, 0::2] = _HEXMAP[d32 >> 4]
-        hx[:, 1::2] = _HEXMAP[d32 & 0x0F]
-        off = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 64).tobytes())
-        hex_arr = pa.Array.from_buffers(pa.string(), n, [None, off, pa.py_buffer(hx)])
-        return pa.table({"url": batch.column("url"), "text_sha256": hex_arr})
+        return pa.table(
+            {"url": batch.column("url"), "text_sha256": hex_string_array(d32)}
+        )
 
     parts = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
     out = parts.to_pandas().sort_values("url")

@@ -341,28 +341,51 @@ def _md5_gram_winnow_batch(
     total = int(valid.sum())
     if total == 0:
         return empty
-    # Stride-1 window bytes, one contiguous (total, L) matrix per batch.
-    mats = []
+    # Stride-1 window bytes, md5-hashed in bounded TILES: materializing
+    # the whole batch's windows at once is an ~L-fold (24x) copy of the
+    # text bytes; tiling caps the temporary at TILE*L bytes (~6 MB) while
+    # keeping the segment kernel batched. Only the u64 half of each
+    # digest is retained (8x text, not 16x + the window matrix).
+    lib = _native.load_sha()
+    TILE = 1 << 18
+
+    def _md5_tile(mats: list, n: int) -> np.ndarray:
+        stream = np.ascontiguousarray(np.concatenate(mats)).reshape(-1)
+        if lib is not None and hasattr(lib, "md5_segments_full"):
+            dig = _native.md5_segments_full(
+                lib, np.full(n, L, dtype=np.int64), stream
+            )
+        else:
+            dig = np.empty((n, 16), dtype=np.uint8)
+            mv = memoryview(stream)
+            for j in range(n):
+                dig[j] = np.frombuffer(
+                    hashlib.md5(mv[j * L : (j + 1) * L]).digest(), dtype=np.uint8
+                )
+        return np.ascontiguousarray(dig[:, :8]).view("<u8").reshape(-1)
+
+    h_parts: list[np.ndarray] = []
+    cur: list = []
+    cur_n = 0
     for d in range(lens.size):
         v = int(valid[d])
         if v == 0:
             continue
-        seg = data[offsets[d] : offsets[d + 1]]
-        mats.append(np.lib.stride_tricks.sliding_window_view(seg, L)[:v])
-    stream = np.ascontiguousarray(np.concatenate(mats)).reshape(-1)
-    lib = _native.load_sha()
-    if lib is not None and hasattr(lib, "md5_segments_full"):
-        dig = _native.md5_segments_full(
-            lib, np.full(total, L, dtype=np.int64), stream
-        )
-    else:
-        dig = np.empty((total, 16), dtype=np.uint8)
-        mv = memoryview(stream)
-        for j in range(total):
-            dig[j] = np.frombuffer(
-                hashlib.md5(mv[j * L : (j + 1) * L]).digest(), dtype=np.uint8
-            )
-    h_all = np.ascontiguousarray(dig[:, :8]).view("<u8").reshape(-1)
+        vw = np.lib.stride_tricks.sliding_window_view(
+            data[offsets[d] : offsets[d + 1]], L
+        )[:v]
+        i = 0
+        while i < v:
+            take = min(v - i, TILE - cur_n)
+            cur.append(vw[i : i + take])
+            cur_n += take
+            i += take
+            if cur_n == TILE:
+                h_parts.append(_md5_tile(cur, cur_n))
+                cur, cur_n = [], 0
+    if cur_n:
+        h_parts.append(_md5_tile(cur, cur_n))
+    h_all = np.concatenate(h_parts)
     hs, ds_, ps = [], [], []
     start = 0
     for d in range(lens.size):

@@ -509,10 +509,16 @@ def label_propagation(
                 )
             return pa.table({"stars": pa.array([n], type=pa.int64())})
 
-        n_stars = sum(
-            r["stars"]
-            for r in labels.map_batches(_star_count, batch_format="pyarrow").take_all()
-        )
+        # the star census is an extra full pass over the label table —
+        # only pay for it when someone is listening
+        n_stars = 0
+        if metrics is not None or os.environ.get("LP_VERBOSE"):
+            n_stars = sum(
+                r["stars"]
+                for r in labels.map_batches(
+                    _star_count, batch_format="pyarrow"
+                ).take_all()
+            )
         if metrics is not None:
             metrics.append(
                 {

@@ -137,3 +137,25 @@ def test_packed_exchange_empty_dataset(ray_session):
     df = out.to_pandas()
     # every empty partition reduces the schema'd empty table
     assert len(df) == 0
+
+
+def test_bucket_block_independent_for_variable_width_strings():
+    """A key's bucket must not depend on which block it appears in: the
+    numpy S-dtype fold the first version used padded keys to the BLOCK's
+    max width, so 'key-1' bucketed differently next to a longer key.
+    Also covers non-ASCII and binary keys."""
+    from plakar_ray.functions.exchange import bucket_ids
+
+    def bucket(keys, typ=pa.string()):
+        t = pa.table({"k": pa.array(keys, type=typ)})
+        return bucket_ids(t, ["k"], 64)
+
+    a = bucket(["key-1", "key-22"])
+    b = bucket(["key-1", "muchlongerkey-999"])
+    assert a[0] == b[0]
+    u = bucket(["héllo", "héllo", "wörld"])
+    assert u[0] == u[1]
+    fixed = bucket([b"\x01" * 32, b"\x01" * 32], pa.binary(32))
+    assert fixed[0] == fixed[1]
+    var = bucket([b"\x00ab", b"ab"], pa.large_binary())
+    assert var.shape == (2,)  # distinct keys may share or differ — no crash

@@ -1107,3 +1107,47 @@ def test_asof_join_coshuffle_equals_broadcast(ray_session):
     # Dataset right at/below the gate takes the broadcast path: same result.
     got2 = run(ray.data.from_arrow(rt), broadcast_threshold=10**9)
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_asof_join_pre_epoch_right_ts(ray_session):
+    """A right row with a negative-microsecond (pre-1970) timestamp is a
+    legitimate match — the resolve must use a hit mask, not a -1
+    sentinel (regression: such matches were reported as misses)."""
+    import ray.data
+
+    from plakar_ray.pipelines.events import asof_join
+
+    left = pa.table(
+        {
+            "event_id": pa.array([0, 1], type=pa.int64()),
+            "user_id": pa.array([7, 8], type=pa.int64()),
+            "ts": pa.array([10_000_000, 10_000_000], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([7], type=pa.int64()),
+            # 1969-12-31T23:59:59 = -1_000_000 us
+            "ts": pa.array([-1_000_000], type=pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([42.0], type=pa.float64()),
+        }
+    )
+
+    for kw in (dict(), dict(broadcast_threshold=0)):
+        out = (
+            asof_join(
+                ray.data.from_arrow(left),
+                right if not kw else ray.data.from_arrow(right),
+                key_col="user_id",
+                ts_col="ts",
+                **kw,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out.loc[0, "asof_value"] == 42.0
+        assert out.loc[0, "asof_ts"] == pd.Timestamp("1969-12-31 23:59:59")
+        assert pd.isna(out.loc[1, "asof_value"])  # key 8 has no right rows
