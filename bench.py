@@ -300,6 +300,9 @@ def bench_queries(sf_dir: str) -> dict:
         # north-rule end-to-end: pages table -> extract -> CDC MinHash/LSH
         # -> CC -> (url, cluster_url) with distributed url join-back.
         "pages_near_dup_clusters",
+        # CCNet-style paragraph dedup TRANSFORM (keep-first election +
+        # doc co-shuffle rebuild) — the cleaning-pipeline row.
+        "paragraph_dedup_clean",
     ]
     qs = E.queries()
     out = {}
