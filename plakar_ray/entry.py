@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from plakar_ray.opts import ChunkerOpts
+from plakar_ray.pipelines.prep import QUALITY_THRESH_E6
 
 SMALL = ChunkerOpts(64, 2048, 256)  # suited to ~300-char driver documents
 FIXED_SIZE = 256
@@ -749,6 +750,18 @@ def q_store_delta_ingest(sf_dir: str) -> pa.Table:
     return pa.table({k: pa.array([v], type=pa.int64()) for k, v in s.items()})
 
 
+def q_corpus_prep(sf_dir: str) -> pa.Table:
+    """The composed training-data prep pipeline as one operator: quality
+    gate -> CCNet paragraph clean -> drop emptied docs -> exact dedup ->
+    one summary row with per-stage accounting and `corpus_md5_xor`, an
+    order-independent XOR-of-md5u64 content certificate over the
+    surviving representative documents — any divergence in any stage
+    flips it. The DuckDB oracle chains the SAME stage rules as CTEs."""
+    from plakar_ray.pipelines.prep import corpus_prep
+
+    return corpus_prep(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_orders_by_region(sf_dir: str) -> pa.Table:
     """Broadcast-join demo on the star schema: orders -> customer -> nation
     -> region (all dimension sides broadcast, fact side streams; the
@@ -1201,6 +1214,7 @@ def queries():
         "paragraph_dedup_stats": q_paragraph_dedup_stats,
         "paragraph_dedup_clean": q_paragraph_dedup_clean,
         "store_delta_ingest": q_store_delta_ingest,
+        "corpus_prep": q_corpus_prep,
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
@@ -1862,6 +1876,58 @@ def oracle_sql():
                    (SELECT coalesce(sum(len) FILTER (WHERE in_store), 0) FROM b)::BIGINT AS dup_vs_store_bytes,
                    (SELECT count(*) FROM newu)::BIGINT AS new_unique_chunks,
                    (SELECT coalesce(sum(len), 0) FROM newu)::BIGINT AS new_unique_bytes
+        """,
+        # Composed prep pipeline: every stage rule is the SAME one its
+        # standalone oracle uses (quality e6 fixed-point, paragraph
+        # keep-first clean, strlen byte accounting, distinct-cleaned
+        # dedup); corpus_md5_xor = XOR of md5_number_upper(cleaned) over
+        # the representative set (order-independent content certificate).
+        "corpus_prep": f"""
+            WITH s AS (
+              SELECT doc_id, text,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_extract_all(text, '{_TOKEN_SQL}'))::BIGINT AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, text,
+                     floor(((least(n_chars / 1000.0, 1.0)
+                             + (CASE WHEN n_chars > 0 THEN n_alpha / greatest(n_chars, 1)::DOUBLE ELSE 0.0 END)
+                             + least((CASE WHEN n_tokens > 0 THEN n_alpha / greatest(n_tokens, 1)::DOUBLE ELSE 0.0 END) / 8.0, 1.0)
+                            ) / 3.0) * 1000000.0 + 0.5)::BIGINT AS q6
+              FROM s
+            ), filtered AS (
+              SELECT doc_id, text FROM sc WHERE q6 >= {QUALITY_THRESH_E6}
+            ), paras AS (
+              SELECT doc_id, text,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx
+              FROM filtered
+            ), flagged AS (
+              SELECT doc_id, text, idx, para,
+                     (strlen(para) = 0
+                      OR row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) AS keep
+              FROM paras
+            ), rebuilt AS (
+              SELECT doc_id, any_value(text) AS text,
+                     coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS cleaned,
+                     (count(*) FILTER (WHERE NOT keep))::BIGINT AS removed_paras
+              FROM flagged GROUP BY doc_id
+            ), nonempty AS (
+              SELECT * FROM rebuilt WHERE strlen(cleaned) > 0
+            ), reps AS (
+              SELECT cleaned, strlen(cleaned)::BIGINT AS len
+              FROM nonempty GROUP BY cleaned
+            )
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_in,
+                   ((SELECT count(*) FROM documents) - (SELECT count(*) FROM filtered))::BIGINT AS quality_dropped,
+                   (SELECT coalesce(sum(removed_paras), 0) FROM rebuilt)::BIGINT AS paras_removed,
+                   (SELECT coalesce(sum(strlen(text) - strlen(cleaned)), 0) FROM rebuilt)::BIGINT AS clean_bytes_removed,
+                   (SELECT count(*) FROM rebuilt WHERE strlen(cleaned) = 0)::BIGINT AS empty_dropped,
+                   ((SELECT count(*) FROM nonempty) - (SELECT count(*) FROM reps))::BIGINT AS exact_dup_dropped,
+                   (SELECT count(*) FROM reps)::BIGINT AS docs_out,
+                   (SELECT coalesce(sum(len), 0) FROM reps)::BIGINT AS bytes_out,
+                   lpad(lower(hex((SELECT coalesce(bit_xor(md5_number_upper(cleaned)), 0) FROM reps))), 16, '0') AS corpus_md5_xor
         """,
         # Same raw-URL construction (integer CASE over doc_id) and the SAME
         # ordered RE2 rewrite chain as pipelines/pages.py:URL_CANON_RULES

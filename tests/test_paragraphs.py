@@ -133,3 +133,46 @@ def test_clean_semantics_spotchecks(ray_session, corpus):
     assert got[4] == ""  # whole doc was a duplicated paragraph
     assert got[5] == "\n\n"  # blank-only doc untouched
     assert got[7] == "a"  # intra-doc dedup keeps first of three
+
+
+def test_corpus_prep_stage_accounting(ray_session):
+    """Composed prep pipeline (pipelines/prep.py): a corpus built to hit
+    every drop path — low-quality doc, doc emptied by paragraph dedup,
+    exact dup pair after cleaning — with both the gated-local and the
+    forced-distributed election producing identical summaries."""
+    import ray.data
+
+    from plakar_ray.pipelines.prep import corpus_prep
+
+    good_a = "the quick brown fox jumps over the lazy dog alpha " * 25
+    good_b = "pack my box with five dozen liquor jugs beta " * 25
+    shared = "shared boilerplate line"
+    docs = [
+        (0, good_a + "\n" + shared),       # keeps both (first everywhere)
+        (1, shared + "\n" + good_b),       # cleans to good_b alone
+        (2, shared),                       # emptied by the clean
+        (3, good_a + "\n\n" + shared + "\n"),  # all non-empty paras are dups
+        (4, good_b + "\n\n" + shared + "\n"),  # -> both clean to "\n": dup pair
+        (5, "!!! ??? ,,, ..."),            # low quality -> gated out
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+            "text": pa.array([d[1] for d in docs], type=pa.large_string()),
+        }
+    )
+    outs = []
+    for lt in (1_000_000, 0):
+        out = corpus_prep(
+            ray.data.from_arrow(t), local_threshold=lt
+        ).to_pandas()
+        outs.append(out)
+        r = out.iloc[0]
+        assert r.docs_in == 6
+        assert r.quality_dropped == 1       # doc 5
+        assert r.paras_removed == 6         # shared x4, good_a x1, good_b x1
+        assert r.empty_dropped == 1         # doc 2
+        assert r.exact_dup_dropped == 1     # docs 3 and 4 both clean to "\n"
+        assert r.docs_out == 3              # doc 0, doc 1, and one "\n" rep
+        assert r.bytes_out > 0 and len(r.corpus_md5_xor) == 16
+    pd.testing.assert_frame_equal(outs[0], outs[1])
