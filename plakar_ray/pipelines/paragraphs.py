@@ -31,8 +31,20 @@ non-duplicate text, per the round-3 advice on substring_dedup_clean).
 Scale shape: one packed keyed exchange on the paragraph digest (all
 occurrences of one paragraph land in one reduce partition — a hot
 boilerplate paragraph is one group in one partition, never a driver
-set), then either a partial-sum merge per doc (stats) or a second packed
-exchange co-shuffling removal indices with their documents (clean).
+set), then a partial-sum merge per doc (stats), or — for clean — the
+removal set (doc_id, para_idx pairs, typically a small fraction of
+corpus bytes: ~16 B per removed occurrence vs the paragraph's hundreds
+of bytes of text) is BROADCAST once via ray.put and every document is
+rebuilt in place by one map over the original dataset; the corpus text
+never crosses an exchange. When the removal set exceeds
+`broadcast_threshold` rows (adversarially duplicated corpora), the
+transform falls back to a tagged-union doc co-shuffle (removal rows
+para_idx >= 0 unioned with doc rows para_idx == -1 carrying text) —
+the same shape substring_dedup_clean uses.
+
+Occurrence identity rides two uint64 columns (md5 halves), not a hex
+string: halves the exchange bytes per occurrence and makes every group
+sort a u64 lexsort instead of an S32 byte sort.
 """
 
 from __future__ import annotations
@@ -56,21 +68,27 @@ def _split_col(batch: pa.Table, text_col: str):
     return values, offsets
 
 
-def _para_md5_hex(values: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """(hex md5 array, byte length) per paragraph; paragraphs are
-    contiguous in the split's values buffer, so one batched segment-md5
-    pass covers the whole batch."""
-    from plakar_ray.functions.strhash import hex_string_array, md5_segments
+def _para_md5_u64(values: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(md5_lo, md5_hi uint64 halves, byte length) per paragraph;
+    paragraphs are contiguous in the split's values buffer, so one
+    batched segment-md5 pass covers the whole batch."""
+    from plakar_ray.functions.strhash import md5_segments
 
     data, voff = byte_views(values)
     lens = (voff[1:] - voff[:-1]).astype(np.int64)
     stream = data[voff[0] : voff[-1]] if len(values) else data[:0]
-    return hex_string_array(md5_segments(lens, stream)), lens
+    dig = md5_segments(lens, stream)  # (n, 16) uint8
+    u = dig.view(np.uint64).reshape(-1, 2)
+    return u[:, 0].copy(), u[:, 1].copy(), lens
 
 
-def _occurrence_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+def _occurrence_batch(
+    batch: pa.Table, id_col: str, text_col: str, with_nbytes: bool = True
+) -> pa.Table:
     """Explode one block of documents into non-empty-paragraph occurrence
-    rows (id, para_idx, para_md5, nbytes)."""
+    rows (id, para_idx, md5_lo, md5_hi[, nbytes]). The clean transform's
+    election never reads nbytes, so it drops the column before the
+    exchange (20% less shuffle volume)."""
     values, offsets = _split_col(batch, text_col)
     counts = offsets[1:] - offsets[:-1]
     ids = np.repeat(
@@ -79,17 +97,29 @@ def _occurrence_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     idx = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
         offsets[:-1], counts
     )
-    md5_hex, lens = _para_md5_hex(values)
+    md5_lo, md5_hi, lens = _para_md5_u64(values)
     keep = lens > 0
-    kp = pa.array(keep)
-    return pa.table(
-        {
-            id_col: pa.array(ids[keep], type=pa.int64()),
-            "para_idx": pa.array(idx[keep], type=pa.int64()),
-            "para_md5": md5_hex.filter(kp),
-            "nbytes": pa.array(lens[keep], type=pa.int64()),
-        }
-    )
+    cols = {
+        id_col: pa.array(ids[keep], type=pa.int64()),
+        "para_idx": pa.array(idx[keep], type=pa.int64()),
+        "md5_lo": pa.array(md5_lo[keep], type=pa.uint64()),
+        "md5_hi": pa.array(md5_hi[keep], type=pa.uint64()),
+    }
+    if with_nbytes:
+        cols["nbytes"] = pa.array(lens[keep], type=pa.int64())
+    return pa.table(cols)
+
+
+def _occ_empty(id_col: str, with_nbytes: bool = True) -> pa.Table:
+    cols = {
+        id_col: pa.array([], type=pa.int64()),
+        "para_idx": pa.array([], type=pa.int64()),
+        "md5_lo": pa.array([], type=pa.uint64()),
+        "md5_hi": pa.array([], type=pa.uint64()),
+    }
+    if with_nbytes:
+        cols["nbytes"] = pa.array([], type=pa.int64())
+    return pa.table(cols)
 
 
 _PARTIAL_COLS = ("n_paras", "dup_paras", "dup_bytes")
@@ -124,16 +154,15 @@ def _dup_partials(batch: pa.Table, id_col: str) -> pa.Table:
     n = batch.num_rows
     if n == 0:
         return zero
-    md5 = np.asarray(
-        batch.column("para_md5").to_numpy(zero_copy_only=False), dtype="S32"
-    )
+    lo = batch.column("md5_lo").to_numpy(zero_copy_only=False)
+    hi = batch.column("md5_hi").to_numpy(zero_copy_only=False)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     nb = batch.column("nbytes").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(md5, kind="stable")
-    smd5 = md5[order]
+    order = np.lexsort((hi, lo))
+    slo, shi = lo[order], hi[order]
     newg = np.empty(n, dtype=bool)
     newg[0] = True
-    newg[1:] = smd5[1:] != smd5[:-1]
+    newg[1:] = (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])
     gid = np.cumsum(newg) - 1
     gsize = np.bincount(gid)
     dup_sorted = gsize[gid] >= 2
@@ -193,14 +222,7 @@ def paragraph_dedup_stats(
         zero_copy_batch=True,
     )
 
-    occ_empty = pa.table(
-        {
-            id_col: pa.array([], type=pa.int64()),
-            "para_idx": pa.array([], type=pa.int64()),
-            "para_md5": pa.array([], type=pa.string()),
-            "nbytes": pa.array([], type=pa.int64()),
-        }
-    )
+    occ_empty = _occ_empty(id_col)
     if local_threshold:
         occ = occ.materialize()
     if local_threshold and occ.count() <= local_threshold:
@@ -216,7 +238,7 @@ def paragraph_dedup_stats(
     else:
         dup = packed_exchange(
             occ,
-            ["para_md5"],
+            ["md5_lo", "md5_hi"],
             max(8, cpus // 2),
             lambda b: _dup_partials(b, id_col),
             occ_empty,
@@ -253,16 +275,15 @@ def _elect_removals(batch: pa.Table, id_col: str) -> pa.Table:
                 "para_idx": pa.array([], type=pa.int64()),
             }
         )
-    md5 = np.asarray(
-        batch.column("para_md5").to_numpy(zero_copy_only=False), dtype="S32"
-    )
+    lo = batch.column("md5_lo").to_numpy(zero_copy_only=False)
+    hi = batch.column("md5_hi").to_numpy(zero_copy_only=False)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     idx = batch.column("para_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((idx, ids, md5))
-    smd5 = md5[order]
+    order = np.lexsort((idx, ids, hi, lo))
+    slo, shi = lo[order], hi[order]
     first = np.empty(n, dtype=bool)
     first[0] = True
-    first[1:] = smd5[1:] != smd5[:-1]
+    first[1:] = (slo[1:] != slo[:-1]) | (shi[1:] != shi[:-1])
     rm = order[~first]
     return pa.table(
         {
@@ -279,8 +300,6 @@ def _rebuild_partition(
     (para_idx == -1, carrying text) and removal rows (para_idx >= 0).
     Rebuild each doc as "\\n".join(kept paragraphs) — one Arrow split,
     one boolean filter, one binary_join; no per-paragraph Python."""
-    from plakar_ray.functions.strhash import hex_string_array, md5_segments
-
     idx = batch.column("para_idx").to_numpy(zero_copy_only=False).astype(np.int64)
     is_doc = idx == -1
     docs = batch.filter(pa.array(is_doc))
@@ -290,13 +309,46 @@ def _rebuild_partition(
     d_order = np.argsort(d_ids, kind="stable")
     docs = docs.take(pa.array(d_order))
     d_ids = d_ids[d_order]
+    r_ids = rem.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    r_idx = rem.column("para_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    return _rebuild_docs(docs, d_ids, r_ids, r_idx, id_col, text_col, emit_text)
+
+
+def _select_removals(
+    d_ids: np.ndarray, r_ids: np.ndarray, r_idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rows of the (id-sorted) broadcast removal arrays that belong to
+    the docs `d_ids` (sorted, unique) — vectorized range-concat gather."""
+    lo = np.searchsorted(r_ids, d_ids, "left")
+    hi = np.searchsorted(r_ids, d_ids, "right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sel = np.repeat(lo, counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+    return r_ids[sel], r_idx[sel]
+
+
+def _rebuild_docs(
+    docs: pa.Table,
+    d_ids: np.ndarray,
+    r_ids: np.ndarray,
+    r_idx: np.ndarray,
+    id_col: str,
+    text_col: str,
+    emit_text: bool,
+) -> pa.Table:
+    """Shared rebuild core: `docs` sorted by (unique) id; (r_ids, r_idx)
+    are this doc set's removal occurrences."""
+    from plakar_ray.functions.strhash import hex_string_array, md5_segments
 
     values, offsets = _split_col(docs, text_col)
     counts = offsets[1:] - offsets[:-1]
     total = int(offsets[-1]) if offsets.size else 0
 
-    r_ids = rem.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    r_idx = rem.column("para_idx").to_numpy(zero_copy_only=False).astype(np.int64)
     pos = np.searchsorted(d_ids, r_ids)
     flat = offsets[pos] + r_idx
 
@@ -346,6 +398,7 @@ def paragraph_dedup_clean(
     text_col: str = "text",
     local_threshold: int = 1_000_000,
     emit_text: bool = False,
+    broadcast_threshold: int = 16_000_000,
 ):
     """The paragraph-dedup TRANSFORM (CCNet line dedup): keep only the
     globally first (smallest (id, para_idx)) occurrence of every
@@ -354,11 +407,18 @@ def paragraph_dedup_clean(
     md5 of the cleaned text (byte-exact evidence of the cleaned corpus;
     `emit_text=True` adds the cleaned column for a write_parquet sink).
 
-    Plan: occurrence explode -> packed exchange on para_md5 (keep-first
-    election, removals out — typically a small fraction of occurrences)
-    -> TAGGED-UNION doc co-shuffle (removal rows para_idx >= 0 union doc
-    rows para_idx == -1 carrying text) -> vectorized per-partition
-    rebuild. Same shape as substring_dedup_clean's exchanges."""
+    Plan: occurrence explode -> packed exchange on the md5 halves
+    (keep-first election, removals out — typically a small fraction of
+    occurrences, and only 16 B/row vs the paragraph's hundreds of bytes
+    of text). The removal set is then BROADCAST (ray.put of two sorted
+    int64 arrays, read zero-copy by every task) and the docs are rebuilt
+    by one map over the original dataset — the corpus text never crosses
+    an exchange, so the transform's data movement is O(removals), not
+    O(corpus). Above `broadcast_threshold` removal rows (~16 B each;
+    the default bounds the broadcast at ~256 MB) it falls back to the
+    tagged-union doc co-shuffle (removal rows para_idx >= 0 unioned with
+    doc rows para_idx == -1 carrying text), the substring_dedup_clean
+    shape, which moves the text but holds only one partition per task."""
     import ray
     import ray.data
 
@@ -368,10 +428,10 @@ def paragraph_dedup_clean(
         cpus = 8
     n_part = max(8, cpus)
 
-    ds = ds.materialize()  # consumed twice: occurrences + tagged docs
+    ds = ds.materialize()  # consumed twice: occurrences + doc rebuild
 
     occ = ds.map_batches(
-        lambda b: _occurrence_batch(b, id_col, text_col),
+        lambda b: _occurrence_batch(b, id_col, text_col, with_nbytes=False),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -396,18 +456,7 @@ def paragraph_dedup_clean(
             }
         )
 
-    docs_tagged = ds.map_batches(
-        _tag_docs, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    occ_empty = pa.table(
-        {
-            id_col: pa.array([], type=pa.int64()),
-            "para_idx": pa.array([], type=pa.int64()),
-            "para_md5": pa.array([], type=pa.string()),
-            "nbytes": pa.array([], type=pa.int64()),
-        }
-    )
+    occ_empty = _occ_empty(id_col, with_nbytes=False)
     if local_threshold:
         occ = occ.materialize()
     if local_threshold and occ.count() <= local_threshold:
@@ -418,6 +467,9 @@ def paragraph_dedup_clean(
         ]
         merged = pa.concat_tables(tables) if tables else occ_empty
         removals = _tag_removals(_elect_removals(merged, id_col))
+        docs_tagged = ds.map_batches(
+            _tag_docs, batch_format="pyarrow", zero_copy_batch=True
+        )
         dtables = [
             b
             for b in docs_tagged.iter_batches(batch_format="pyarrow", batch_size=None)
@@ -428,14 +480,62 @@ def paragraph_dedup_clean(
             _rebuild_partition(both, id_col, text_col, emit_text)
         )
 
+    rem_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "para_idx": pa.array([], type=pa.int64()),
+        }
+    )
     removals = packed_exchange(
         occ,
-        ["para_md5"],
+        ["md5_lo", "md5_hi"],
         n_part,
-        lambda b: _tag_removals(_elect_removals(b, id_col)),
+        lambda b: _elect_removals(b, id_col),
         occ_empty,
+    ).materialize()
+
+    if removals.count() <= broadcast_threshold:
+        # Small-side broadcast: sorted (id, idx) arrays in the object
+        # store once; every rebuild task reads them zero-copy and slices
+        # its own docs' removals via searchsorted.
+        tables = [
+            b
+            for b in removals.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        merged = pa.concat_tables(tables) if tables else rem_empty
+        r_ids = merged.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r_idx = (
+            merged.column("para_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.lexsort((r_idx, r_ids))
+        ref = ray.put((r_ids[order], r_idx[order]))
+
+        def _rebuild_broadcast(batch: pa.Table) -> pa.Table:
+            ids_np = (
+                batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            d_order = np.argsort(ids_np, kind="stable")
+            docs = pa.table(
+                {
+                    id_col: batch.column(id_col).cast(pa.int64()),
+                    text_col: batch.column(text_col).cast(pa.large_string()),
+                }
+            ).take(pa.array(d_order))
+            d_ids = ids_np[d_order]
+            b_ids, b_idx = ray.get(ref)
+            rs, ri = _select_removals(d_ids, b_ids, b_idx)
+            return _rebuild_docs(docs, d_ids, rs, ri, id_col, text_col, emit_text)
+
+        return ds.map_batches(
+            _rebuild_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    both = removals.map_batches(
+        _tag_removals, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ds.map_batches(_tag_docs, batch_format="pyarrow", zero_copy_batch=True)
     )
-    both = removals.union(docs_tagged)
     tagged_empty = pa.table(
         {
             id_col: pa.array([], type=pa.int64()),

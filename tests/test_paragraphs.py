@@ -100,13 +100,25 @@ def test_stats_matches_duckdb(ray_session, corpus, oracle, local_threshold):
     pd.testing.assert_frame_equal(got, oracle[0], check_dtype=False)
 
 
-@pytest.mark.parametrize("local_threshold", [1_000_000, 0])
-def test_clean_matches_duckdb(ray_session, corpus, oracle, local_threshold):
+# (local_threshold, broadcast_threshold): gated-local, distributed with
+# broadcast rebuild, distributed with the tagged-union co-shuffle fallback
+@pytest.mark.parametrize(
+    "local_threshold,broadcast_threshold",
+    [(1_000_000, 16_000_000), (0, 16_000_000), (0, 0)],
+)
+def test_clean_matches_duckdb(
+    ray_session, corpus, oracle, local_threshold, broadcast_threshold
+):
     import ray.data
 
     ds = ray.data.from_arrow(corpus)
     got = (
-        paragraph_dedup_clean(ds, local_threshold=local_threshold, emit_text=True)
+        paragraph_dedup_clean(
+            ds,
+            local_threshold=local_threshold,
+            emit_text=True,
+            broadcast_threshold=broadcast_threshold,
+        )
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
