@@ -999,67 +999,75 @@ def _nonowner_positions(batch: pa.Table, id_col: str) -> pa.Table:
     )
 
 
-def _clean_partition(
-    batch: pa.Table, span_len: int, id_col: str, text_col: str,
-    emit_text: bool = False,
+def _intervals_batch(batch: pa.Table, span_len: int, id_col: str) -> pa.Table:
+    """Doc-keyed exchange reduce: merge one partition's removal POSITIONS
+    (every position of each of its docs — one row per duplicated byte,
+    stride-1) into disjoint per-doc coverage intervals [start, end).
+    Fixed span length makes the merge a sorted diff: consecutive sorted
+    positions p, q of one doc coalesce iff q <= p + L (overlap or
+    adjacency — both read as one covered run downstream). Output volume
+    is ~L x smaller than the position rows."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "start": pa.array([], type=pa.int64()),
+            "end": pa.array([], type=pa.int64()),
+        }
+    )
+    n = batch.num_rows
+    if n == 0:
+        return empty
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = batch.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos, ids))
+    sid, spos = ids[order], pos[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (sid[1:] != sid[:-1]) | (spos[1:] > spos[:-1] + span_len)
+    starts_at = np.flatnonzero(new)
+    last_at = np.append(starts_at[1:], n) - 1
+    return pa.table(
+        {
+            id_col: pa.array(sid[starts_at], type=pa.int64()),
+            "start": pa.array(spos[starts_at], type=pa.int64()),
+            "end": pa.array(spos[last_at] + span_len, type=pa.int64()),
+        }
+    )
+
+
+def _clean_docs(
+    docs: pa.Table,
+    did: np.ndarray,
+    rid: np.ndarray,
+    rstart: np.ndarray,
+    rend: np.ndarray,
+    id_col: str,
+    text_col: str,
+    emit_text: bool,
 ) -> pa.Table:
-    """One partition holds a set of documents (pos == -1 rows, carrying
-    text) plus every removal position of those documents. Builds the byte
-    coverage of the removal intervals [pos, pos+L) with one diff/cumsum
-    over the concatenated doc buffer, slices the kept bytes out in one
-    boolean gather, and emits per-doc accounting + md5 of the cleaned
-    text. Every document appears in the output (zero-removal docs keep
-    their full-text md5)."""
-    cols = {
-        id_col: pa.array([], type=pa.int64()),
-        "removed_spans": pa.array([], type=pa.int64()),
-        "removed_bytes": pa.array([], type=pa.int64()),
-        "kept_bytes": pa.array([], type=pa.int64()),
-        "cleaned_md5": pa.array([], type=pa.string()),
-    }
-    if emit_text:
-        cols["cleaned_text"] = pa.array([], type=pa.large_binary())
-    empty = pa.table(cols)
-    if batch.num_rows == 0:
-        return empty
-    pos_all = batch.column("pos").to_numpy(zero_copy_only=False)
-    is_doc = pos_all == -1
-    docs = batch.filter(pa.array(is_doc))
-    if docs.num_rows == 0:
-        return empty
-    # documents, sorted by id for searchsorted routing of positions
-    did = docs.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(did, kind="stable")
-    docs = docs.take(pa.array(order))
-    did = did[order]
+    """Shared clean core: `docs` sorted by (unique) id; (rid, rstart,
+    rend) are this doc set's DISJOINT merged removal intervals. Builds
+    the byte coverage with one diff/cumsum over the concatenated doc
+    buffer, slices the kept bytes out in one boolean gather, and emits
+    per-doc accounting + md5 of the cleaned text. Every document appears
+    in the output (zero-removal docs keep their full-text md5)."""
     data, offsets = byte_views(docs.column(text_col))
     total = int(offsets[-1])
-    rid = batch.column(id_col).to_numpy(zero_copy_only=False)[~is_doc]
-    rpos = pos_all[~is_doc]
-    cover = np.zeros(total, dtype=np.int64)
+    covered = np.zeros(total, dtype=bool)
+    spans = np.zeros(did.size, dtype=np.int64)
+    removed = np.zeros(did.size, dtype=np.int64)
     if rid.size:
         idx = np.searchsorted(did, rid)
-        starts = offsets[:-1][idx] + rpos
-        ends = starts + span_len
+        starts = offsets[:-1][idx] + rstart
+        ends = starts + (rend - rstart)
         delta = np.zeros(total + 1, dtype=np.int64)
         np.add.at(delta, starts, 1)
         np.add.at(delta, ends, -1)
-        cover = np.cumsum(delta[:-1])
-    covered = cover > 0
-    # merged-span starts: covered positions whose predecessor (within the
-    # same doc) is uncovered
-    prev = np.empty(total, dtype=bool)
-    if total:
-        prev[0] = False
-        prev[1:] = covered[:-1]
-        prev[offsets[:-1][offsets[:-1] < total]] = False
-    span_start = covered & ~prev
-    nz = np.flatnonzero(offsets[:-1] < offsets[1:])  # non-empty docs
-    removed = np.zeros(did.size, dtype=np.int64)
-    spans = np.zeros(did.size, dtype=np.int64)
-    if nz.size:
-        removed[nz] = np.add.reduceat(covered.astype(np.int64), offsets[:-1][nz])
-        spans[nz] = np.add.reduceat(span_start.astype(np.int64), offsets[:-1][nz])
+        covered = np.cumsum(delta[:-1]) > 0
+        spans = np.bincount(idx, minlength=did.size).astype(np.int64)
+        removed = np.bincount(
+            idx, weights=(rend - rstart), minlength=did.size
+        ).astype(np.int64)
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
     kept = lens - removed
     kept_data = data[~covered]
@@ -1089,6 +1097,42 @@ def _clean_partition(
     return pa.table(cols)
 
 
+def _clean_partition(
+    batch: pa.Table, id_col: str, text_col: str, emit_text: bool = False
+) -> pa.Table:
+    """Tagged-union co-shuffle reduce (fallback path): one partition
+    holds a set of documents (start == -1 rows, carrying text) plus every
+    merged removal interval of those documents."""
+    cols = {
+        id_col: pa.array([], type=pa.int64()),
+        "removed_spans": pa.array([], type=pa.int64()),
+        "removed_bytes": pa.array([], type=pa.int64()),
+        "kept_bytes": pa.array([], type=pa.int64()),
+        "cleaned_md5": pa.array([], type=pa.string()),
+    }
+    if emit_text:
+        cols["cleaned_text"] = pa.array([], type=pa.large_binary())
+    empty = pa.table(cols)
+    if batch.num_rows == 0:
+        return empty
+    start_all = batch.column("start").to_numpy(zero_copy_only=False)
+    is_doc = start_all == -1
+    docs = batch.filter(pa.array(is_doc))
+    if docs.num_rows == 0:
+        return empty
+    # documents, sorted by id for searchsorted routing of intervals
+    did = docs.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(did, kind="stable")
+    docs = docs.take(pa.array(order))
+    did = did[order]
+    rid = batch.column(id_col).to_numpy(zero_copy_only=False)[~is_doc]
+    rstart = start_all[~is_doc]
+    rend = batch.column("end").to_numpy(zero_copy_only=False)[~is_doc]
+    return _clean_docs(
+        docs, did, rid, rstart, rend, id_col, text_col, emit_text
+    )
+
+
 def substring_dedup_clean(
     ds,
     gram_len: int = 32,
@@ -1097,6 +1141,7 @@ def substring_dedup_clean(
     local_threshold: int = 2_000_000,
     batch_size: int | None = None,
     emit_text: bool = False,
+    broadcast_threshold: int = 16_000_000,
 ):
     """The substring-dedup TRANSFORM (Lee et al. 2021): remove all but one
     occurrence of every cross-document duplicated span >= L, keeping the
@@ -1104,15 +1149,19 @@ def substring_dedup_clean(
     Returns per-document accounting plus the md5 of the cleaned text —
     byte-exact evidence of what a cleaned-corpus writer would emit, in a
     driver-checkable size (the cleaned corpus itself is just the kept-byte
-    gather in `_clean_partition`, one `write_parquet` away).
+    gather in `_clean_docs`, one `write_parquet` away).
 
     Plan: stride-1 gram rows -> gram-keyed hash-partition exchange
-    (per-gram owner election, non-owner positions out) -> TAGGED-UNION
-    co-shuffle: removal positions (pos >= 0) union document rows
-    (pos == -1, carrying text), one doc-keyed exchange co-locates each
-    document with all its removal positions -> vectorized coverage +
-    kept-byte gather. Three exchanges total, each hash-partitioned; no
-    joins, no driver materialization above the gate."""
+    (per-gram owner election, non-owner positions out) -> doc-keyed
+    exchange of the POSITIONS ONLY (16 B/row, no text), whose reduce
+    merges each doc's positions into disjoint coverage intervals
+    [start, end) — ~L x fewer rows than positions. The interval table is
+    then BROADCAST (ray.put of three sorted int64 arrays, read zero-copy
+    per task) and every document is rebuilt in place by one map over the
+    original dataset; the corpus text never crosses an exchange. Above
+    `broadcast_threshold` interval rows (~24 B each) it falls back to a
+    tagged-union doc co-shuffle (interval rows start >= 0 unioned with
+    doc rows start == -1 carrying text)."""
     import ray
     import ray.data
 
@@ -1122,12 +1171,10 @@ def substring_dedup_clean(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # Reduce-side parallelism == n_part (batch == block == one partition);
-    # size the gram exchange to the cluster. The doc-keyed exchange carries
-    # full text payloads, so keep it wide too (smaller per-task heaps).
+    # Reduce-side parallelism == n_part (batch == block == one partition).
     n_part = max(8, cpus)
 
-    ds = ds.materialize()  # consumed twice: gram rows + tagged doc rows
+    ds = ds.materialize()  # consumed twice: gram rows + doc rebuild
 
     grams = ds.map_batches(
         lambda b: _gram_rows_batch(b, L, id_col, text_col, 0, dual=True),
@@ -1143,25 +1190,25 @@ def substring_dedup_clean(
         return pa.table(
             {
                 id_col: batch.column(id_col).cast(pa.int64()),
-                "pos": pa.array(
+                "start": pa.array(
                     np.full(batch.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "end": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64), type=pa.int64()
                 ),
                 text_col: batch.column(text_col).cast(pa.large_string()),
             }
         )
 
-    def _tag_removals(batch: pa.Table) -> pa.Table:
+    def _tag_intervals(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "pos": batch.column("pos"),
+                "start": batch.column("start"),
+                "end": batch.column("end"),
                 text_col: pa.array([""] * batch.num_rows, type=pa.large_string()),
             }
         )
-
-    docs_tagged = ds.map_batches(
-        _tag_docs, batch_format="pyarrow", zero_copy_batch=True
-    )
 
     if local_threshold:
         grams = grams.materialize()  # gate needs a count; no barrier otherwise
@@ -1183,7 +1230,12 @@ def substring_dedup_clean(
                 }
             )
         )
-        removals = _tag_removals(_nonowner_positions(gm, id_col))
+        removals = _tag_intervals(
+            _intervals_batch(_nonowner_positions(gm, id_col), L, id_col)
+        )
+        docs_tagged = ds.map_batches(
+            _tag_docs, batch_format="pyarrow", zero_copy_batch=True
+        )
         dtables = [
             b
             for b in docs_tagged.iter_batches(batch_format="pyarrow", batch_size=None)
@@ -1191,7 +1243,7 @@ def substring_dedup_clean(
         ]
         merged = pa.concat_tables([removals] + dtables, promote_options="default")
         return ray.data.from_arrow(
-            _clean_partition(merged, L, id_col, text_col, emit_text)
+            _clean_partition(merged, id_col, text_col, emit_text)
         )
 
     # Packed exchanges (functions/exchange.py) — stride-1 gram rows are one
@@ -1204,21 +1256,94 @@ def substring_dedup_clean(
             "gram64b": pa.array([], type=pa.uint64()),
         }
     )
-    removals = packed_exchange(
-        grams, ["gram64"], n_part,
-        lambda b: _tag_removals(_nonowner_positions(b, id_col)), gram_empty,
-    )
-    both = removals.union(docs_tagged)
-    tagged_empty = pa.table(
+    pos_empty = pa.table(
         {
             id_col: pa.array([], type=pa.int64()),
             "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    positions = packed_exchange(
+        grams, ["gram64"], n_part,
+        lambda b: _nonowner_positions(b, id_col), gram_empty,
+    )
+    intervals = packed_exchange(
+        positions, [id_col], n_part,
+        lambda b: _intervals_batch(b, L, id_col), pos_empty,
+    ).materialize()
+
+    if intervals.count() <= broadcast_threshold:
+        # Small-side broadcast: each doc's merged intervals, sorted by
+        # (id, start), in the object store once; rebuild tasks gather
+        # their own docs' rows via searchsorted.
+        from plakar_ray.functions.npu import rows_for_sorted_keys
+
+        itables = [
+            b
+            for b in intervals.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        im = (
+            pa.concat_tables(itables)
+            if itables
+            else pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "start": pa.array([], type=pa.int64()),
+                    "end": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        r_ids = im.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        r_start = im.column("start").to_numpy(zero_copy_only=False).astype(np.int64)
+        r_end = im.column("end").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((r_start, r_ids))
+        ref = ray.put((r_ids[order], r_start[order], r_end[order]))
+
+        def _rebuild_broadcast(batch: pa.Table) -> pa.Table:
+            ids_np = (
+                batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            d_order = np.argsort(ids_np, kind="stable")
+            docs = pa.table(
+                {
+                    id_col: batch.column(id_col).cast(pa.int64()),
+                    text_col: batch.column(text_col).cast(pa.large_string()),
+                }
+            ).take(pa.array(d_order))
+            d_ids = ids_np[d_order]
+            b_ids, b_start, b_end = ray.get(ref)
+            sel = rows_for_sorted_keys(b_ids, d_ids)
+            return _clean_docs(
+                docs,
+                d_ids,
+                b_ids[sel],
+                b_start[sel],
+                b_end[sel],
+                id_col,
+                text_col,
+                emit_text,
+            )
+
+        return ds.map_batches(
+            _rebuild_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    both = intervals.map_batches(
+        _tag_intervals, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        ds.map_batches(_tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tagged_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "start": pa.array([], type=pa.int64()),
+            "end": pa.array([], type=pa.int64()),
             text_col: pa.array([], type=pa.large_string()),
         }
     )
     return packed_exchange(
         both, [id_col], n_part,
-        lambda b: _clean_partition(b, L, id_col, text_col, emit_text),
+        lambda b: _clean_partition(b, id_col, text_col, emit_text),
         tagged_empty,
     )
 

@@ -83,40 +83,45 @@ def _para_md5_u64(values: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _occurrence_batch(
-    batch: pa.Table, id_col: str, text_col: str, with_nbytes: bool = True
+    batch: pa.Table,
+    id_col: str,
+    text_col: str,
+    with_nbytes: bool = True,
+    with_idx: bool = True,
 ) -> pa.Table:
     """Explode one block of documents into non-empty-paragraph occurrence
-    rows (id, para_idx, md5_lo, md5_hi[, nbytes]). The clean transform's
-    election never reads nbytes, so it drops the column before the
-    exchange (20% less shuffle volume)."""
+    rows (id[, para_idx], md5_lo, md5_hi[, nbytes]). Each consumer drops
+    the column it never reads before the exchange: the clean transform's
+    election needs para_idx but not nbytes; the stats reduce needs
+    nbytes but not para_idx."""
     values, offsets = _split_col(batch, text_col)
     counts = offsets[1:] - offsets[:-1]
     ids = np.repeat(
         batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), counts
     )
-    idx = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
-        offsets[:-1], counts
-    )
     md5_lo, md5_hi, lens = _para_md5_u64(values)
     keep = lens > 0
-    cols = {
-        id_col: pa.array(ids[keep], type=pa.int64()),
-        "para_idx": pa.array(idx[keep], type=pa.int64()),
-        "md5_lo": pa.array(md5_lo[keep], type=pa.uint64()),
-        "md5_hi": pa.array(md5_hi[keep], type=pa.uint64()),
-    }
+    cols = {id_col: pa.array(ids[keep], type=pa.int64())}
+    if with_idx:
+        idx = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
+            offsets[:-1], counts
+        )
+        cols["para_idx"] = pa.array(idx[keep], type=pa.int64())
+    cols["md5_lo"] = pa.array(md5_lo[keep], type=pa.uint64())
+    cols["md5_hi"] = pa.array(md5_hi[keep], type=pa.uint64())
     if with_nbytes:
         cols["nbytes"] = pa.array(lens[keep], type=pa.int64())
     return pa.table(cols)
 
 
-def _occ_empty(id_col: str, with_nbytes: bool = True) -> pa.Table:
-    cols = {
-        id_col: pa.array([], type=pa.int64()),
-        "para_idx": pa.array([], type=pa.int64()),
-        "md5_lo": pa.array([], type=pa.uint64()),
-        "md5_hi": pa.array([], type=pa.uint64()),
-    }
+def _occ_empty(
+    id_col: str, with_nbytes: bool = True, with_idx: bool = True
+) -> pa.Table:
+    cols = {id_col: pa.array([], type=pa.int64())}
+    if with_idx:
+        cols["para_idx"] = pa.array([], type=pa.int64())
+    cols["md5_lo"] = pa.array([], type=pa.uint64())
+    cols["md5_hi"] = pa.array([], type=pa.uint64())
     if with_nbytes:
         cols["nbytes"] = pa.array([], type=pa.int64())
     return pa.table(cols)
@@ -212,7 +217,7 @@ def paragraph_dedup_stats(
 
     ds = ds.materialize()  # consumed twice: occurrences + base counts
     occ = ds.map_batches(
-        lambda b: _occurrence_batch(b, id_col, text_col),
+        lambda b: _occurrence_batch(b, id_col, text_col, with_idx=False),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -222,7 +227,7 @@ def paragraph_dedup_stats(
         zero_copy_batch=True,
     )
 
-    occ_empty = _occ_empty(id_col)
+    occ_empty = _occ_empty(id_col, with_idx=False)
     if local_threshold:
         occ = occ.materialize()
     if local_threshold and occ.count() <= local_threshold:
@@ -319,16 +324,9 @@ def _select_removals(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Rows of the (id-sorted) broadcast removal arrays that belong to
     the docs `d_ids` (sorted, unique) — vectorized range-concat gather."""
-    lo = np.searchsorted(r_ids, d_ids, "left")
-    hi = np.searchsorted(r_ids, d_ids, "right")
-    counts = hi - lo
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    sel = np.repeat(lo, counts) + (
-        np.arange(total, dtype=np.int64)
-        - np.repeat(np.cumsum(counts) - counts, counts)
-    )
+    from plakar_ray.functions.npu import rows_for_sorted_keys
+
+    sel = rows_for_sorted_keys(r_ids, d_ids)
     return r_ids[sel], r_idx[sel]
 
 

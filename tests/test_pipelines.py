@@ -970,8 +970,10 @@ def test_substring_dedup_clean_transform(ray_session):
 
 
 def test_substring_dedup_clean_distributed_equals_local(ray_session):
-    """local_threshold=0 forces the gram-keyed exchange AND the tagged-union
-    doc-keyed co-shuffle; results must equal the driver-local path."""
+    """local_threshold=0 forces the gram-keyed exchange plus the interval
+    exchange with the broadcast rebuild; broadcast_threshold=0 further
+    forces the tagged-union doc co-shuffle fallback. Both must equal the
+    driver-local path."""
     from plakar_ray.pipelines.dedup import substring_dedup_clean
 
     table, _ = _span_fixture()
@@ -982,6 +984,12 @@ def test_substring_dedup_clean_distributed_equals_local(ray_session):
     loc = norm(substring_dedup_clean(_ds(table), gram_len=32))
     dist = norm(substring_dedup_clean(_ds(table), gram_len=32, local_threshold=0))
     assert loc.equals(dist)
+    coshuf = norm(
+        substring_dedup_clean(
+            _ds(table), gram_len=32, local_threshold=0, broadcast_threshold=0
+        )
+    )
+    assert loc.equals(coshuf)
 
 
 def test_substring_dedup_clean_emit_text(ray_session):
