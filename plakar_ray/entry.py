@@ -612,6 +612,61 @@ def q_embedding_ivf_topk_det(sf_dir: str) -> pa.Table:
 
 
 COSINE_DUP_THRESHOLD = 0.35
+SEMDEDUP_THRESHOLD = 0.30
+
+
+def _semantic_dedup_table(sf_dir: str, centroids) -> pa.Table:
+    from plakar_ray.stages.embed import semantic_dedup
+
+    out = (
+        semantic_dedup(
+            _embeddings(sf_dir),
+            threshold=SEMDEDUP_THRESHOLD,
+            centroids=centroids,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"], type=pa.int64()),
+            "cell": pa.array(out["cell"], type=pa.int64()),
+            "kept": pa.array(out["kept"], type=pa.bool_()),
+            "dup_of": pa.array(out["dup_of"], type=pa.int64()),
+        }
+    )
+
+
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup over the embeddings table: sampled-kmeans cells, then
+    keep-first cosine dedup within each cell (stages/embed.semantic_dedup).
+    Rows-only driver check (seeded kmeans fit); the value-checked twin is
+    semantic_dedup_det."""
+    return _semantic_dedup_table(sf_dir, None)
+
+
+def q_semantic_dedup_det(sf_dir: str) -> pa.Table:
+    """Driver-verifiable SemDeDup: the production assign + cell exchange
+    + per-cell pairwise-cosine machinery with FIXED centroids (vec_id <
+    N_IVF_DET_CENTROIDS), so a DuckDB oracle reproduces cell assignment
+    and the keep-first election exactly — the SQL-checkable twin of
+    semantic_dedup's sampled-kmeans fit."""
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = cent_t.column("vec_id").to_numpy()
+    sel = np.nonzero(vid < N_IVF_DET_CENTROIDS)[0]
+    sel = sel[np.argsort(vid[sel])]
+    cent = np.stack(
+        [
+            np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64)
+            for i in sel
+        ]
+    )
+    return _semantic_dedup_table(sf_dir, cent)
 
 
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:
@@ -1182,6 +1237,8 @@ def queries():
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "embedding_srp_pairs_md5": q_embedding_srp_pairs_md5,
         "embedding_ivf_topk_det": q_embedding_ivf_topk_det,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_det": q_semantic_dedup_det,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1672,6 +1729,29 @@ def oracle_sql():
             SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 6) AS cosine
             FROM ranked WHERE rank <= {TOPK_K}
             ORDER BY query_id, rank
+        """,
+        "semantic_dedup_det": f"""
+            WITH c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < {N_IVF_DET_CENTROIDS}
+            ), e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), assign AS (
+              SELECT e.vec_id, any_value(e.v) AS v,
+                     arg_max(c.cid, list_cosine_similarity(e.v, c.cv)) AS cell
+              FROM e CROSS JOIN c GROUP BY e.vec_id
+            ), sel AS (
+              SELECT a.vec_id, any_value(a.cell) AS cell,
+                     min(b.vec_id) AS dup_min
+              FROM assign a
+              LEFT JOIN assign b
+                ON b.cell = a.cell AND b.vec_id < a.vec_id
+               AND list_cosine_similarity(a.v, b.v) >= {SEMDEDUP_THRESHOLD}
+              GROUP BY a.vec_id
+            )
+            SELECT vec_id, cell, (dup_min IS NULL) AS kept,
+                   coalesce(dup_min, -1)::BIGINT AS dup_of
+            FROM sel ORDER BY vec_id
         """,
         "embedding_near_dup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

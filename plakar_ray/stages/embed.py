@@ -347,3 +347,142 @@ def cosine_near_dup_pairs(
     return pa.concat_tables(collected).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+def _cell_dedup_partition(
+    batch: pa.Table, threshold: float, id_col: str, vec_col: str
+) -> pa.Table:
+    """Cell-keyed exchange reduce: every vector of each of this
+    partition's cells. Per cell (sorted by id): pairwise cosine via one
+    normalized matmul; a vector is a duplicate iff some SMALLER-id vector
+    in its cell clears the threshold, and `dup_of` is the smallest such
+    id (-1 for kept vectors)."""
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "cell": pa.array([], type=pa.int64()),
+            "kept": pa.array([], type=pa.bool_()),
+            "dup_of": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, cells))
+    ids, cells = ids[order], cells[order]
+    m = _normalize(_matrix(batch.take(pa.array(order)), vec_col))
+    out_kept = np.ones(ids.size, dtype=bool)
+    out_dup = np.full(ids.size, -1, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], cells[1:] != cells[:-1])))
+    ends = np.append(starts[1:], ids.size)
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        n = e - s
+        if n < 2:
+            continue
+        v = m[s:e]
+        g = v @ v.T  # ids ascending within the cell
+        hit = np.tril(g >= threshold, k=-1)
+        dup = hit.any(axis=1)
+        if dup.any():
+            first = hit.argmax(axis=1)  # smallest qualifying id's position
+            out_kept[s:e][dup] = False
+            out_dup[s:e][dup] = ids[s:e][first[dup]]
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            "cell": pa.array(cells, type=pa.int64()),
+            "kept": pa.array(out_kept, type=pa.bool_()),
+            "dup_of": pa.array(out_dup, type=pa.int64()),
+        }
+    )
+
+
+def semantic_dedup(
+    ds,
+    threshold: float = 0.8,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    sample_size: int = 2048,
+    centroids: np.ndarray | None = None,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.03540): cluster the
+    embedding space, then dedup WITHIN each cluster by pairwise cosine —
+    the clustering turns the corpus-quadratic pair search into
+    sum-of-cluster-size-squared work. Deviation from the paper's
+    keep-farthest-from-centroid rule: the canonical survivor is the
+    smallest id (this repo's keep-first house rule, shared with every
+    other dedup family and the DuckDB oracle).
+
+    Returns a Dataset of (id, cell, kept, dup_of): `kept` is False iff
+    some smaller-id vector in the same cell has cosine >= threshold, and
+    `dup_of` is the smallest such id (-1 when kept).
+
+    Shape: centroids fitted on a driver-side sample (or passed fixed —
+    the SQL-checkable twin entry.q_semantic_dedup_det), broadcast via
+    ray.put; assignment is one matmul per batch; ONE packed exchange on
+    the cell id co-locates each cluster (a cluster is one group in one
+    partition — never a driver table); the per-cell n^2 matmul is the
+    SemDeDup contract (size K so that corpus_n/K keeps cells small; at
+    10^12 docs K ~ n/1000 with a sharded kmeans fit)."""
+    import ray
+
+    from plakar_ray.functions.exchange import packed_exchange
+
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        sample = ds.limit(sample_size).to_pandas()
+        sm = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+        )
+        rng = np.random.default_rng(seed)
+        cent = sm[
+            rng.choice(sm.shape[0], size=min(n_clusters, sm.shape[0]), replace=False)
+        ]
+        for _ in range(8):
+            assign = (sm @ cent.T).argmax(axis=1)
+            for c in range(cent.shape[0]):
+                members = sm[assign == c]
+                if members.shape[0]:
+                    cent[c] = members.mean(axis=0)
+            cent = _normalize(cent)
+    cent_ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _normalize(_matrix(batch, vec_col))
+        cell = (m @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "cell": pa.array(cell, type=pa.int64()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+
+    assigned = ds.map_batches(
+        assign_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vec_type = pa.list_(pa.float32())
+    assigned_empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "cell": pa.array([], type=pa.int64()),
+            vec_col: pa.array([], type=vec_type),
+        }
+    )
+    return packed_exchange(
+        assigned,
+        ["cell"],
+        max(8, cpus // 2),
+        lambda b: _cell_dedup_partition(b, threshold, id_col, vec_col),
+        assigned_empty,
+    )

@@ -60,3 +60,49 @@ def test_ivf_recall_vs_brute_force(ray_session):
     assert len(bf_set & ivf_set) / len(bf_set) >= 0.5
     # brute force is exact: the top neighbor of a planted dup must be its source
     assert len(bf) == 15 * 5
+
+
+def test_semantic_dedup_matches_local_rule(ray_session):
+    """SemDeDup (stages/embed.semantic_dedup) with fixed centroids equals
+    a brute-force local evaluation of the same rule: a vector is dropped
+    iff some smaller-id vector in its assigned cell clears the cosine
+    threshold; dup_of is the smallest such id."""
+    import ray.data
+
+    from plakar_ray.stages.embed import semantic_dedup
+
+    t, pairs = _planted_embeddings()
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    cent = vecs[:8]
+    thr = 0.95
+
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(t), threshold=thr, centroids=cent
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cell = (vecs @ cn.T).argmax(axis=1)
+    g = vecs @ vecs.T
+    n = vecs.shape[0]
+    exp_kept = np.ones(n, dtype=bool)
+    exp_dup = np.full(n, -1, dtype=np.int64)
+    for j in range(n):
+        cand = np.flatnonzero((cell[:j] == cell[j]) & (g[j, :j] >= thr))
+        if cand.size:
+            exp_kept[j] = False
+            exp_dup[j] = cand[0]
+    assert (out["cell"].to_numpy() == cell).all()
+    assert (out["kept"].to_numpy() == exp_kept).all()
+    assert (out["dup_of"].to_numpy() == exp_dup).all()
+    # the planted near-identical copies must actually be dropped
+    dropped = set(out.loc[~out["kept"], "vec_id"])
+    same_cell_pairs = [(s, d) for s, d in pairs if cell[s] == cell[d]]
+    assert same_cell_pairs and all(d in dropped for _, d in same_cell_pairs)
