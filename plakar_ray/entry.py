@@ -577,26 +577,37 @@ N_IVF_DET_CENTROIDS = 16
 IVF_DET_PROBE = 4
 
 
+def _det_centroids(sf_dir: str) -> np.ndarray:
+    """Fixed centroids shared by the deterministic embedding twins:
+    the vectors with vec_id < N_IVF_DET_CENTROIDS. Same predicate as
+    the DuckDB oracles (WHERE vec_id < N), not "N smallest ids" — they
+    only coincide when ids are exactly 0..N-1."""
+    import pyarrow.parquet as pq
+
+    cent_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vid = cent_t.column("vec_id").to_numpy()
+    sel = np.nonzero(vid < N_IVF_DET_CENTROIDS)[0]
+    sel = sel[np.argsort(vid[sel])]
+    return np.stack(
+        [
+            np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64)
+            for i in sel
+        ]
+    )
+
+
 def q_embedding_ivf_topk_det(sf_dir: str) -> pa.Table:
     """Driver-verifiable IVF search: the production assign/probe/rerank
     machinery (stages/embed.ivf_topk) with FIXED centroids (the first 16
     vectors), so a DuckDB oracle reproduces cell assignment, probe choice
     and the reranked top-k exactly — the SQL-checkable twin of
     embedding_ivf_topk's sampled-kmeans fit."""
-    import pyarrow.parquet as pq
-
     from plakar_ray.stages.embed import ivf_topk
 
     ids, vecs = _query_vectors(sf_dir)
-    cent_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    # Same predicate as the DuckDB oracle (WHERE vec_id < N), not
-    # "N smallest ids" — they only coincide when ids are exactly 0..N-1.
-    vid = cent_t.column("vec_id").to_numpy()
-    sel = np.nonzero(vid < N_IVF_DET_CENTROIDS)[0]
-    sel = sel[np.argsort(vid[sel])]
-    cent = np.stack(
-        [np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64) for i in sel]
-    )
+    cent = _det_centroids(sf_dir)
     t = ivf_topk(
         _embeddings(sf_dir), vecs, ids, k=TOPK_K, n_probe=IVF_DET_PROBE,
         centroids=cent,
@@ -652,21 +663,7 @@ def q_semantic_dedup_det(sf_dir: str) -> pa.Table:
     N_IVF_DET_CENTROIDS), so a DuckDB oracle reproduces cell assignment
     and the keep-first election exactly — the SQL-checkable twin of
     semantic_dedup's sampled-kmeans fit."""
-    import pyarrow.parquet as pq
-
-    cent_t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    vid = cent_t.column("vec_id").to_numpy()
-    sel = np.nonzero(vid < N_IVF_DET_CENTROIDS)[0]
-    sel = sel[np.argsort(vid[sel])]
-    cent = np.stack(
-        [
-            np.asarray(cent_t.column("embedding")[int(i)].as_py(), dtype=np.float64)
-            for i in sel
-        ]
-    )
-    return _semantic_dedup_table(sf_dir, cent)
+    return _semantic_dedup_table(sf_dir, _det_centroids(sf_dir))
 
 
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:

@@ -1275,29 +1275,9 @@ def substring_dedup_clean(
         # Small-side broadcast: each doc's merged intervals, sorted by
         # (id, start), in the object store once; rebuild tasks gather
         # their own docs' rows via searchsorted.
-        from plakar_ray.functions.npu import rows_for_sorted_keys
+        from plakar_ray.functions.npu import batch_rows_for_keys, put_sorted_by_key
 
-        itables = [
-            b
-            for b in intervals.iter_batches(batch_format="pyarrow", batch_size=None)
-            if len(b)
-        ]
-        im = (
-            pa.concat_tables(itables)
-            if itables
-            else pa.table(
-                {
-                    id_col: pa.array([], type=pa.int64()),
-                    "start": pa.array([], type=pa.int64()),
-                    "end": pa.array([], type=pa.int64()),
-                }
-            )
-        )
-        r_ids = im.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        r_start = im.column("start").to_numpy(zero_copy_only=False).astype(np.int64)
-        r_end = im.column("end").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((r_start, r_ids))
-        ref = ray.put((r_ids[order], r_start[order], r_end[order]))
+        ref = put_sorted_by_key(intervals, id_col, ["start", "end"])
 
         def _rebuild_broadcast(batch: pa.Table) -> pa.Table:
             ids_np = (
@@ -1311,17 +1291,9 @@ def substring_dedup_clean(
                 }
             ).take(pa.array(d_order))
             d_ids = ids_np[d_order]
-            b_ids, b_start, b_end = ray.get(ref)
-            sel = rows_for_sorted_keys(b_ids, d_ids)
+            rids, rstart, rend = batch_rows_for_keys(ref, d_ids)
             return _clean_docs(
-                docs,
-                d_ids,
-                b_ids[sel],
-                b_start[sel],
-                b_end[sel],
-                id_col,
-                text_col,
-                emit_text,
+                docs, d_ids, rids, rstart, rend, id_col, text_col, emit_text
             )
 
         return ds.map_batches(

@@ -319,17 +319,6 @@ def _rebuild_partition(
     return _rebuild_docs(docs, d_ids, r_ids, r_idx, id_col, text_col, emit_text)
 
 
-def _select_removals(
-    d_ids: np.ndarray, r_ids: np.ndarray, r_idx: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Rows of the (id-sorted) broadcast removal arrays that belong to
-    the docs `d_ids` (sorted, unique) — vectorized range-concat gather."""
-    from plakar_ray.functions.npu import rows_for_sorted_keys
-
-    sel = rows_for_sorted_keys(r_ids, d_ids)
-    return r_ids[sel], r_idx[sel]
-
-
 def _rebuild_docs(
     docs: pa.Table,
     d_ids: np.ndarray,
@@ -478,12 +467,6 @@ def paragraph_dedup_clean(
             _rebuild_partition(both, id_col, text_col, emit_text)
         )
 
-    rem_empty = pa.table(
-        {
-            id_col: pa.array([], type=pa.int64()),
-            "para_idx": pa.array([], type=pa.int64()),
-        }
-    )
     removals = packed_exchange(
         occ,
         ["md5_lo", "md5_hi"],
@@ -496,18 +479,9 @@ def paragraph_dedup_clean(
         # Small-side broadcast: sorted (id, idx) arrays in the object
         # store once; every rebuild task reads them zero-copy and slices
         # its own docs' removals via searchsorted.
-        tables = [
-            b
-            for b in removals.iter_batches(batch_format="pyarrow", batch_size=None)
-            if len(b)
-        ]
-        merged = pa.concat_tables(tables) if tables else rem_empty
-        r_ids = merged.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        r_idx = (
-            merged.column("para_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        order = np.lexsort((r_idx, r_ids))
-        ref = ray.put((r_ids[order], r_idx[order]))
+        from plakar_ray.functions.npu import batch_rows_for_keys, put_sorted_by_key
+
+        ref = put_sorted_by_key(removals, id_col, ["para_idx"])
 
         def _rebuild_broadcast(batch: pa.Table) -> pa.Table:
             ids_np = (
@@ -521,8 +495,7 @@ def paragraph_dedup_clean(
                 }
             ).take(pa.array(d_order))
             d_ids = ids_np[d_order]
-            b_ids, b_idx = ray.get(ref)
-            rs, ri = _select_removals(d_ids, b_ids, b_idx)
+            rs, ri = batch_rows_for_keys(ref, d_ids)
             return _rebuild_docs(docs, d_ids, rs, ri, id_col, text_col, emit_text)
 
         return ds.map_batches(

@@ -139,7 +139,20 @@ def ivf_topk(
     if centroids is not None:
         cent = _normalize(np.asarray(centroids, dtype=np.float64))
     else:
-        sample = ds.limit(sample_size).to_pandas()
+        # Seeded RANDOM sample, not a storage-order prefix (source-grouped
+        # input would collapse the centroids into one region).
+        ds = ds.materialize()
+        n = ds.count()
+        if n > sample_size:
+            sample = (
+                ds.random_sample(min(1.0, 1.2 * sample_size / n), seed=seed)
+                .limit(sample_size)
+                .to_pandas()
+            )
+            if len(sample) == 0:
+                sample = ds.limit(sample_size).to_pandas()
+        else:
+            sample = ds.to_pandas()
         sm = _normalize(
             np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
         )
@@ -428,13 +441,38 @@ def semantic_dedup(
     SemDeDup contract (size K so that corpus_n/K keeps cells small; at
     10^12 docs K ~ n/1000 with a sharded kmeans fit)."""
     import ray
+    import ray.data
 
     from plakar_ray.functions.exchange import packed_exchange
 
+    empty_out = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "cell": pa.array([], type=pa.int64()),
+            "kept": pa.array([], type=pa.bool_()),
+            "dup_of": pa.array([], type=pa.int64()),
+        }
+    )
     if centroids is not None:
         cent = _normalize(np.asarray(centroids, dtype=np.float64))
     else:
-        sample = ds.limit(sample_size).to_pandas()
+        # Seeded RANDOM sample, not a storage-order prefix: ordered or
+        # source-grouped input would otherwise put every centroid in one
+        # region and funnel most of the corpus into one quadratic cell.
+        ds = ds.materialize()
+        n = ds.count()
+        if n == 0:
+            return ray.data.from_arrow(empty_out)
+        if n > sample_size:
+            sample = (
+                ds.random_sample(min(1.0, 1.2 * sample_size / n), seed=seed)
+                .limit(sample_size)
+                .to_pandas()
+            )
+            if len(sample) == 0:  # freak empty draw: storage-order fallback
+                sample = ds.limit(sample_size).to_pandas()
+        else:
+            sample = ds.to_pandas()
         sm = _normalize(
             np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
         )
