@@ -79,7 +79,7 @@ class DecodeImageStage:
         ).astype(np.float64)
         return hist / max(hist.sum(), 1.0)
 
-    def _pil_decode(self, payload: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+    def _pil_pixels(self, payload: np.ndarray) -> np.ndarray:
         import io
 
         import PIL.Image
@@ -88,25 +88,25 @@ class DecodeImageStage:
         px = np.asarray(img.convert("RGB") if img.mode == "P" else img)
         if px.ndim == 2:
             px = px[:, :, None]
-        return px.shape[1], px.shape[0], px.shape[2], self._pixel_feat(px)
+        return px
 
-    def _decode(self, payload: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+    def _decode_pixels(self, payload: np.ndarray) -> np.ndarray | None:
+        """Raw (h, w, c) uint8 pixels, or None for the fake path
+        (strict=False, format not decodable in this environment)."""
         kind = codecs.sniff(payload)
         if kind in ("ppm", "pgm"):
-            w, h, c, px = codecs.decode_pnm(payload)
-            return w, h, c, self._pixel_feat(px)
+            return codecs.decode_pnm(payload)[3]
         if kind == "bmp":
-            w, h, c, px = codecs.decode_bmp(payload)
-            return w, h, c, self._pixel_feat(px)
+            return codecs.decode_bmp(payload)[3]
         if kind == "png":
             # Pure stdlib-zlib + numpy decode (functions/codecs.decode_png,
             # all legal depth/color combos incl. Adam7); PIL only for
             # payloads it rejects (malformed / exotic chunk layouts).
             try:
-                w, h, c, px = codecs.decode_png(payload)
-                if px.dtype == np.uint16:  # feature histogram is 8-bit-bucketed
+                px = codecs.decode_png(payload)[3]
+                if px.dtype == np.uint16:  # downstream ops are 8-bit
                     px = (px >> 8).astype(np.uint8)
-                return w, h, c, self._pixel_feat(px)
+                return px
             except ValueError:
                 if self.strict and not self.has_pil:
                     raise
@@ -115,13 +115,12 @@ class DecodeImageStage:
             # (functions/jpeg.decode_jpeg); PIL only for the modes it
             # rejects (lossless/arithmetic/hierarchical, 12-bit).
             try:
-                w, h, c, px = jpeg.decode_jpeg(payload)
-                return w, h, c, self._pixel_feat(px)
+                return jpeg.decode_jpeg(payload)[3]
             except ValueError:
                 if self.strict and not self.has_pil:
                     raise
         if self.has_pil and kind in ("jpeg", "png"):
-            return self._pil_decode(payload)
+            return self._pil_pixels(payload)
         if self.strict:
             raise NotImplementedError(
                 f"image decode for format {kind!r} needs PIL (not in this "
@@ -129,7 +128,13 @@ class DecodeImageStage:
                 "Adam7) and baseline JPEG decode natively, or strict=False "
                 "fakes"
             )
-        return self._fake_decode(payload)
+        return None
+
+    def _decode(self, payload: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+        px = self._decode_pixels(payload)
+        if px is None:
+            return self._fake_decode(payload)
+        return px.shape[1], px.shape[0], px.shape[2], self._pixel_feat(px)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = byte_views(batch.column(self.payload_col))
@@ -150,6 +155,76 @@ class DecodeImageStage:
                 "feat": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), type=pa.float64()), self.FEAT_DIM
                 ),
+            }
+        )
+
+
+class ResizeImageStage(DecodeImageStage):
+    """(media_id, payload) -> (media_id, width, height, channels,
+    pixels: large_binary) — the training-pipeline image-preprocess step:
+    decode (same dispatch/gating as DecodeImageStage) then resample to a
+    fixed (out_h, out_w) with the pure-numpy half-pixel bilinear or
+    nearest kernel (functions/imageops.py). `pixels` is the raw
+    out_h x out_w x c uint8 buffer (row-major), ready for a
+    fixed-shape tensor consumer; channel count passes through.
+
+    The fake path (strict=False, undecodable format) emits deterministic
+    sha256-keystream pixels so schemas and batch plumbing stay testable
+    without the codec."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64,
+                 method: str = "bilinear", id_col: str = "media_id",
+                 payload_col: str = "payload", strict: bool = False):
+        super().__init__(id_col=id_col, payload_col=payload_col, strict=strict)
+        if method not in ("bilinear", "nearest"):
+            raise ValueError(f"unknown resize method {method!r}")
+        self.out_h = int(out_h)
+        self.out_w = int(out_w)
+        self.method = method
+
+    def _fake_pixels(self, payload: np.ndarray) -> np.ndarray:
+        w, h, c, _ = self._fake_decode(payload)
+        need = h * w * c
+        seed = hashlib.sha256(payload.tobytes()).digest()
+        reps = (need + len(seed) - 1) // len(seed)
+        buf = np.frombuffer(seed * reps, dtype=np.uint8)[:need]
+        return buf.reshape(h, w, c)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from plakar_ray.functions.imageops import resize_bilinear, resize_nearest
+
+        kernel = resize_bilinear if self.method == "bilinear" else resize_nearest
+        data, offsets = byte_views(batch.column(self.payload_col))
+        n = len(batch)
+        chans = np.empty(n, np.int32)
+        bufs = []
+        for i in range(n):
+            payload = data[offsets[i] : offsets[i + 1]]
+            px = self._decode_pixels(payload)
+            if px is None:
+                px = self._fake_pixels(payload)
+            out = kernel(px, self.out_h, self.out_w)
+            chans[i] = out.shape[2]
+            bufs.append(np.ascontiguousarray(out, dtype=np.uint8).reshape(-1))
+        sizes = np.array([b.size for b in bufs], dtype=np.int64)
+        off = np.concatenate(([0], np.cumsum(sizes)))
+        flat = np.concatenate(bufs) if bufs else np.empty(0, np.uint8)
+        pixels = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "width": pa.array(
+                    np.full(n, self.out_w, dtype=np.int32), type=pa.int32()
+                ),
+                "height": pa.array(
+                    np.full(n, self.out_h, dtype=np.int32), type=pa.int32()
+                ),
+                "channels": pa.array(chans, type=pa.int32()),
+                "pixels": pixels,
             }
         )
 
@@ -271,6 +346,27 @@ def decode_images(ds, concurrency=None, batch_size: int = 16, strict: bool = Fal
     return ds.map_batches(
         DecodeImageStage,
         fn_constructor_kwargs=dict(strict=strict),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_images(ds, out_h: int = 64, out_w: int = 64, method: str = "bilinear",
+                  concurrency=None, batch_size: int = 16, strict: bool = False):
+    """Actor-pool decode + fixed-shape resample (the image-preprocess
+    step of a training pipeline); output rows carry the raw resized
+    uint8 buffer."""
+    if concurrency is None:
+        from plakar_ray.stages.chunk import default_pool_size
+
+        concurrency = default_pool_size()
+    return ds.map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs=dict(
+            out_h=out_h, out_w=out_w, method=method, strict=strict
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
