@@ -362,6 +362,9 @@ def cosine_near_dup_pairs(
     )
 
 
+_GRAM_TILE_ELEMS = 32_000_000  # float64 Gram elements per tile (~256 MB)
+
+
 def _cell_dedup_partition(
     batch: pa.Table, threshold: float, id_col: str, vec_col: str
 ) -> pa.Table:
@@ -393,14 +396,21 @@ def _cell_dedup_partition(
         n = e - s
         if n < 2:
             continue
-        v = m[s:e]
-        g = v @ v.T  # ids ascending within the cell
-        hit = np.tril(g >= threshold, k=-1)
-        dup = hit.any(axis=1)
-        if dup.any():
-            first = hit.argmax(axis=1)  # smallest qualifying id's position
-            out_kept[s:e][dup] = False
-            out_dup[s:e][dup] = ids[s:e][first[dup]]
+        v = m[s:e]  # ids ascending within the cell
+        # Row-tiled pairwise cosine: the Gram tile is bounded (~256 MB of
+        # float64) instead of the full n^2 matrix, so one hot cell cannot
+        # OOM the reduce task; compute stays the exact same rule.
+        tile = max(1, _GRAM_TILE_ELEMS // max(n, 1))
+        for t0 in range(0, n, tile):
+            t1 = min(t0 + tile, n)
+            g = v[t0:t1] @ v[:t1].T
+            valid = np.arange(t1)[None, :] < np.arange(t0, t1)[:, None]
+            hit = (g >= threshold) & valid
+            dup = hit.any(axis=1)
+            if dup.any():
+                first = hit.argmax(axis=1)  # smallest qualifying id's position
+                out_kept[s + t0 : s + t1][dup] = False
+                out_dup[s + t0 : s + t1][dup] = ids[s:e][first[dup]]
     return pa.table(
         {
             id_col: pa.array(ids, type=pa.int64()),

@@ -106,3 +106,33 @@ def test_semantic_dedup_matches_local_rule(ray_session):
     dropped = set(out.loc[~out["kept"], "vec_id"])
     same_cell_pairs = [(s, d) for s, d in pairs if cell[s] == cell[d]]
     assert same_cell_pairs and all(d in dropped for _, d in same_cell_pairs)
+
+
+def test_semantic_dedup_tiled_equals_untiled(ray_session):
+    """Forcing tiny Gram tiles (the hot-cell memory guard) must not change
+    the election."""
+    import ray.data
+
+    from plakar_ray.stages import embed
+
+    t, _ = _planted_embeddings()
+    cent = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()[:4]]
+    )
+
+    def run():
+        return (
+            embed.semantic_dedup(ray.data.from_arrow(t), threshold=0.95, centroids=cent)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    big = run()
+    old = embed._GRAM_TILE_ELEMS
+    embed._GRAM_TILE_ELEMS = 7  # a handful of rows per tile
+    try:
+        small = run()
+    finally:
+        embed._GRAM_TILE_ELEMS = old
+    assert big.equals(small)
