@@ -303,6 +303,9 @@ def bench_queries(sf_dir: str) -> dict:
         # CCNet-style paragraph dedup TRANSFORM (keep-first election +
         # doc co-shuffle rebuild) — the cleaning-pipeline row.
         "paragraph_dedup_clean",
+        # full tier-dedup stack (quality -> paragraph clean -> exact ->
+        # MinHash/LSH near-dup election), value-certified end to end.
+        "corpus_prep_tiered",
     ]
     qs = E.queries()
     out = {}

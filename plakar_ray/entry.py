@@ -814,6 +814,20 @@ def q_corpus_prep(sf_dir: str) -> pa.Table:
     return corpus_prep(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_corpus_prep_tiered(sf_dir: str) -> pa.Table:
+    """The FULL tier-dedup stack (the graft's namesake) as one operator:
+    quality gate -> CCNet paragraph clean -> drop emptied docs -> exact
+    dedup -> MinHash/LSH near-dup dedup (production banding + connected-
+    components tail over md5-evidence signatures, keep the min-doc_id
+    cluster member) -> one summary row with per-TIER accounting and the
+    XOR-of-md5u64 content certificate over the final survivors. The
+    DuckDB oracle chains every tier's rule as CTEs, ending in the same
+    recursive-CTE connected components as minhash_lsh_clusters_md5."""
+    from plakar_ray.pipelines.prep import corpus_prep_tiered
+
+    return corpus_prep_tiered(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_orders_by_region(sf_dir: str) -> pa.Table:
     """Broadcast-join demo on the star schema: orders -> customer -> nation
     -> region (all dimension sides broadcast, fact side streams; the
@@ -1269,6 +1283,7 @@ def queries():
         "paragraph_dedup_clean": q_paragraph_dedup_clean,
         "store_delta_ingest": q_store_delta_ingest,
         "corpus_prep": q_corpus_prep,
+        "corpus_prep_tiered": q_corpus_prep_tiered,
         "url_snapshot_dedup": q_url_snapshot_dedup,
         "orders_by_region": q_orders_by_region,
         "train_val_split": q_train_val_split,
@@ -2005,6 +2020,93 @@ def oracle_sql():
                    (SELECT count(*) FROM reps)::BIGINT AS docs_out,
                    (SELECT coalesce(sum(len), 0) FROM reps)::BIGINT AS bytes_out,
                    lpad(lower(hex((SELECT coalesce(bit_xor(md5_number_upper(cleaned)), 0) FROM reps))), 16, '0') AS corpus_md5_xor
+        """,
+        # Full tier-dedup stack: corpus_prep's quality/clean/exact CTEs,
+        # then the near-dup tier — the SAME shingle/signature/band rules
+        # as minhash_lsh_clusters_md5 lifted onto the cleaned
+        # representative set, recursive-CTE connected components, keep
+        # min-doc_id per cluster, certificate over the final survivors.
+        "corpus_prep_tiered": f"""
+            WITH RECURSIVE s AS (
+              SELECT doc_id, text,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_extract_all(text, '{_TOKEN_SQL}'))::BIGINT AS n_tokens,
+                     (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::BIGINT AS n_alpha
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, text,
+                     floor(((least(n_chars / 1000.0, 1.0)
+                             + (CASE WHEN n_chars > 0 THEN n_alpha / greatest(n_chars, 1)::DOUBLE ELSE 0.0 END)
+                             + least((CASE WHEN n_tokens > 0 THEN n_alpha / greatest(n_tokens, 1)::DOUBLE ELSE 0.0 END) / 8.0, 1.0)
+                            ) / 3.0) * 1000000.0 + 0.5)::BIGINT AS q6
+              FROM s
+            ), filtered AS (
+              SELECT doc_id, text FROM sc WHERE q6 >= {QUALITY_THRESH_E6}
+            ), paras AS (
+              SELECT doc_id, text,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS idx
+              FROM filtered
+            ), flagged AS (
+              SELECT doc_id, text, idx, para,
+                     (strlen(para) = 0
+                      OR row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) AS keep
+              FROM paras
+            ), rebuilt AS (
+              SELECT doc_id, any_value(text) AS text,
+                     coalesce(string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE keep), '') AS cleaned,
+                     (count(*) FILTER (WHERE NOT keep))::BIGINT AS removed_paras
+              FROM flagged GROUP BY doc_id
+            ), nonempty AS (
+              SELECT * FROM rebuilt WHERE strlen(cleaned) > 0
+            ), reps AS (
+              SELECT min(doc_id)::BIGINT AS doc_id, cleaned,
+                     strlen(cleaned)::BIGINT AS len
+              FROM nonempty GROUP BY cleaned
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(cleaned), '[a-z0-9]+'), x -> x <> '') AS t
+              FROM reps
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_upper(t[(g.i+1)::INT] || ' ' || t[(g.i+2)::INT] || ' ' || t[(g.i+3)::INT]) AS h
+              FROM toks CROSS JOIN LATERAL (SELECT unnest(range(len(t) - 2)) AS i) g
+              WHERE len(t) >= 3
+            ), sig AS (
+              SELECT doc_id, p.p::BIGINT AS perm_id,
+                     min(xor(h, md5_number_upper('perm-' || p.p))) AS mh
+              FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p) p
+              GROUP BY doc_id, p.p
+            ), bandkey AS (
+              SELECT doc_id, (perm_id // 4)::INT AS band_id,
+                     string_agg(mh::VARCHAR, ',' ORDER BY perm_id) AS bkey
+              FROM sig GROUP BY doc_id, (perm_id // 4)::INT
+            ), edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM bandkey a JOIN bandkey b
+                ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+            ), reach(u, v) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), clusters AS (
+              SELECT u AS doc_id, min(v)::BIGINT AS cluster_id FROM reach GROUP BY u
+            ), dropped AS (
+              SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
+            ), final AS (
+              SELECT r.doc_id, r.cleaned, r.len FROM reps r
+              WHERE r.doc_id NOT IN (SELECT doc_id FROM dropped)
+            )
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_in,
+                   ((SELECT count(*) FROM documents) - (SELECT count(*) FROM filtered))::BIGINT AS quality_dropped,
+                   (SELECT coalesce(sum(removed_paras), 0) FROM rebuilt)::BIGINT AS paras_removed,
+                   (SELECT coalesce(sum(strlen(text) - strlen(cleaned)), 0) FROM rebuilt)::BIGINT AS clean_bytes_removed,
+                   (SELECT count(*) FROM rebuilt WHERE strlen(cleaned) = 0)::BIGINT AS empty_dropped,
+                   ((SELECT count(*) FROM nonempty) - (SELECT count(*) FROM reps))::BIGINT AS exact_dup_dropped,
+                   (SELECT count(*) FROM dropped)::BIGINT AS neardup_dropped,
+                   (SELECT count(*) FROM final)::BIGINT AS docs_out,
+                   (SELECT coalesce(sum(len), 0) FROM final)::BIGINT AS bytes_out,
+                   lpad(lower(hex((SELECT coalesce(bit_xor(md5_number_upper(cleaned)), 0) FROM final))), 16, '0') AS corpus_md5_xor
         """,
         # Same raw-URL construction (integer CASE over doc_id) and the SAME
         # ordered RE2 rewrite chain as pipelines/pages.py:URL_CANON_RULES

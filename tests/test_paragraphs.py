@@ -188,3 +188,52 @@ def test_corpus_prep_stage_accounting(ray_session):
         assert r.docs_out == 3              # doc 0, doc 1, and one "\n" rep
         assert r.bytes_out > 0 and len(r.corpus_md5_xor) == 16
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_corpus_prep_tiered_accounting(ray_session):
+    """Full tier-dedup stack (corpus_prep_tiered): the corpus_prep corpus
+    plus a case-variant pair — different cleaned TEXT (so the exact tier
+    keeps both) but identical token streams (so their word-3-gram shingle
+    sets, signatures and every LSH band key are EQUAL and the near-dup
+    tier must cluster them deterministically). Gated-local and
+    forced-distributed paths must produce identical summaries."""
+    import ray.data
+
+    from plakar_ray.pipelines.prep import corpus_prep_tiered
+
+    good_a = "the quick brown fox jumps over the lazy dog alpha " * 25
+    good_b = "pack my box with five dozen liquor jugs beta " * 25
+    good_c = "Sphinx Of Black Quartz Judge My Vow Gamma " * 25
+    shared = "shared boilerplate line"
+    docs = [
+        (0, good_a + "\n" + shared),
+        (1, shared + "\n" + good_b),
+        (2, shared),                           # emptied by the clean
+        (3, good_a + "\n\n" + shared + "\n"),  # cleans to "\n": dup pair
+        (4, good_b + "\n\n" + shared + "\n"),
+        (5, "!!! ??? ,,, ..."),                # low quality
+        (6, good_c),                           # near-dup pair: same tokens,
+        (7, good_c.lower()),                   # different exact text
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+            "text": pa.array([d[1] for d in docs], type=pa.large_string()),
+        }
+    )
+    outs = []
+    for lt in (1_000_000, 0):
+        out = corpus_prep_tiered(
+            ray.data.from_arrow(t), local_threshold=lt
+        ).to_pandas()
+        outs.append(out)
+        r = out.iloc[0]
+        assert r.docs_in == 8
+        assert r.quality_dropped == 1      # doc 5
+        assert r.paras_removed == 6
+        assert r.empty_dropped == 1        # doc 2
+        assert r.exact_dup_dropped == 1    # docs 3/4 both clean to "\n"
+        assert r.neardup_dropped == 1      # doc 7 clusters under doc 6
+        assert r.docs_out == 4             # doc 0, doc 1, "\n" rep, doc 6
+        assert r.bytes_out > 0 and len(r.corpus_md5_xor) == 16
+    pd.testing.assert_frame_equal(outs[0], outs[1])
