@@ -87,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--out", default="",
                     help="clean mode: write (id, cleaned_text, accounting)"
                     " parquet here instead of printing accounting")
+    sp = sub.add_parser(
+        "prep",
+        help="full tier-dedup stack (quality gate -> paragraph clean ->"
+        " exact dedup -> MinHash/LSH near-dup election); prints the"
+        " per-tier summary, --out also writes the surviving cleaned"
+        " corpus as hash-sharded parquet (one dir per shard, resumable)",
+    )
+    common(sp)
+    sp.add_argument("--quality-thresh-e6", type=int, default=550_000)
+    sp.add_argument("--num-perm", type=int, default=16)
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--shards", type=int, default=64)
+    sp.add_argument("--out", default="")
 
     args = p.parse_args(argv)
 
@@ -166,6 +179,44 @@ def main(argv: list[str] | None = None) -> int:
                     print(
                         ds.to_pandas().sort_values(args.id_col).to_string(index=False)
                     )
+        elif args.cmd == "prep":
+            from plakar_ray.pipelines.prep import corpus_prep_tiered
+
+            res = corpus_prep_tiered(
+                _read(args),
+                quality_thresh_e6=args.quality_thresh_e6,
+                id_col=args.id_col, text_col=args.text_col,
+                num_perm=args.num_perm, bands=args.bands,
+                emit_docs=bool(args.out),
+            )
+            if args.out:
+                import numpy as np
+                import pyarrow as pa
+
+                from plakar_ray.functions.exchange import _mix64
+
+                summary, survivors = res
+                n_shards, id_col = int(args.shards), args.id_col
+
+                def add_shard(batch: pa.Table) -> pa.Table:
+                    ids = (
+                        batch.column(id_col)
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        .view(np.uint64)
+                    )
+                    shard = (_mix64(ids) % np.uint64(n_shards)).astype(np.int32)
+                    return batch.append_column("shard", pa.array(shard))
+
+                # One directory per hash shard: a failed/killed run resumes
+                # by skipping shard dirs that already exist in args.out.
+                survivors.map_batches(
+                    add_shard, batch_format="pyarrow", zero_copy_batch=True
+                ).write_parquet(args.out, partition_cols=["shard"])
+                print(summary.to_pandas().to_string(index=False))
+                print(f"wrote surviving cleaned corpus to {args.out}")
+            else:
+                print(res.to_pandas().to_string(index=False))
         elif args.cmd == "plot":
             from plakar_ray.pipelines.plots import render_figures
 

@@ -173,7 +173,8 @@ def corpus_prep_tiered(
     num_perm: int = 16,
     bands: int = 4,
     local_threshold: int = 1_000_000,
-) -> pa.Table:
+    emit_docs: bool = False,
+):
     """The FULL tier-dedup stack as one driver-checkable operator — the
     composition the north rule's 100 TB web corpus runs end to end:
 
@@ -201,7 +202,12 @@ def corpus_prep_tiered(
     election, text kept this time). Tier 3 adds the flagship's band
     exchange; cluster rows are O(near-dup docs) and the non-representative
     id set is broadcast back (same O(removals) pattern as paragraph
-    clean's rebuild), so corpus text never crosses tier 3's exchange."""
+    clean's rebuild), so corpus text never crosses tier 3's exchange.
+
+    `emit_docs=True` additionally returns the surviving cleaned corpus as
+    a lazy Dataset of (id, cleaned_md5, cleaned_text, kept_bytes) —
+    `(summary, survivors)` — for a `write_parquet` sink (cli.py
+    `prep --out`)."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -300,6 +306,10 @@ def corpus_prep_tiered(
     cid = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
     did = clusters.column(id_col).to_numpy(zero_copy_only=False)
     dropped = np.sort(did[did != cid].astype(np.int64))  # O(near-dup docs)
+    # Broadcast once (ray.put), read zero-copy per worker — the same
+    # O(removals) pattern as paragraph clean's rebuild; a closure-captured
+    # array would re-ship with every task.
+    dropped_ref = ray.put(dropped)
 
     partial_schema = pa.schema(
         [("reps", pa.int64()), ("rep_bytes", pa.int64()), ("xor_md5", pa.uint64())]
@@ -311,7 +321,7 @@ def corpus_prep_tiered(
         if batch.num_rows == 0:
             return partial_schema.empty_table()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = ~np.isin(ids, dropped)
+        keep = ~np.isin(ids, ray.get(dropped_ref))
         md5 = np.asarray(
             batch.column("cleaned_md5").to_numpy(zero_copy_only=False), dtype="S32"
         )[keep]
@@ -341,7 +351,7 @@ def corpus_prep_tiered(
     for r in rows:
         xor_val ^= int(r["xor_md5"])
 
-    return pa.table(
+    summary = pa.table(
         {
             "docs_in": pa.array([docs_in], type=pa.int64()),
             "quality_dropped": pa.array([docs_in - n_surv], type=pa.int64()),
@@ -355,3 +365,16 @@ def corpus_prep_tiered(
             "corpus_md5_xor": pa.array([f"{xor_val:016x}"], type=pa.string()),
         }
     )
+    if not emit_docs:
+        return summary
+
+    def survivors_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, ray.get(dropped_ref))))
+
+    survivors = reps.map_batches(
+        survivors_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return summary, survivors
