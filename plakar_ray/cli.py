@@ -208,8 +208,10 @@ def main(argv: list[str] | None = None) -> int:
                     shard = (_mix64(ids) % np.uint64(n_shards)).astype(np.int32)
                     return batch.append_column("shard", pa.array(shard))
 
-                # One directory per hash shard: a failed/killed run resumes
-                # by skipping shard dirs that already exist in args.out.
+                # One directory per hash shard — never one giant file; a
+                # partial output is inspectable per shard. (Per-partition
+                # crash-resume with manifests is state/lineage.py — see
+                # the store pipeline and the SIGKILL resume demo.)
                 survivors.map_batches(
                     add_shard, batch_format="pyarrow", zero_copy_batch=True
                 ).write_parquet(args.out, partition_cols=["shard"])
