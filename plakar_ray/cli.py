@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         help="full tier-dedup stack (quality gate -> paragraph clean ->"
         " exact dedup -> MinHash/LSH near-dup election); prints the"
         " per-tier summary, --out also writes the surviving cleaned"
-        " corpus as hash-sharded parquet (one dir per shard, resumable)",
+        " corpus as hash-sharded parquet (one dir per shard)",
     )
     common(sp)
     sp.add_argument("--quality-thresh-e6", type=int, default=550_000)
