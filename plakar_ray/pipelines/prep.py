@@ -255,21 +255,25 @@ def corpus_prep_tiered(
     ).materialize()
     n_nonempty = nonempty.count()
 
-    sel = nonempty.select_columns([id_col, "cleaned_md5", "cleaned_text", "kept_bytes"])
+    # Tier 2 election ships ONLY (doc_id, cleaned_md5) — 40 B/row — and
+    # emits the LOSER ids (every id but the min of its md5 group); the
+    # corpus text never crosses the exchange. Losers are O(exact-dup
+    # docs) and are broadcast back (ray.put), the same O(removals)
+    # pattern as paragraph clean's rebuild.
+    sel = nonempty.select_columns([id_col, "cleaned_md5"])
     sel_empty = pa.table(
         {
             id_col: pa.array([], type=pa.int64()),
             "cleaned_md5": pa.array([], type=pa.string()),
-            "cleaned_text": pa.array([], type=pa.large_string()),
-            "kept_bytes": pa.array([], type=pa.int64()),
         }
     )
 
-    def rep_elect(batch: pa.Table) -> pa.Table:
-        """Keep the min-doc_id row per distinct cleaned_md5 (the md5-128
-        identity is value-certified by the oracle's GROUP BY cleaned)."""
+    def elect_losers(batch: pa.Table) -> pa.Table:
+        """Emit every id that is NOT the min of its cleaned_md5 group (the
+        md5-128 identity is value-certified by the oracle's GROUP BY
+        cleaned)."""
         if batch.num_rows == 0:
-            return batch
+            return pa.table({id_col: pa.array([], type=pa.int64())})
         md5 = np.asarray(
             batch.column("cleaned_md5").to_numpy(zero_copy_only=False), dtype="S32"
         )
@@ -278,7 +282,7 @@ def corpus_prep_tiered(
         md5s = md5[order]
         first = np.ones(md5s.size, dtype=bool)
         first[1:] = md5s[1:] != md5s[:-1]
-        return batch.take(pa.array(np.sort(order[first])))
+        return pa.table({id_col: pa.array(ids[order[~first]], type=pa.int64())})
 
     if local_threshold and n_nonempty <= local_threshold:
         tables = [
@@ -286,16 +290,39 @@ def corpus_prep_tiered(
             for b in sel.iter_batches(batch_format="pyarrow", batch_size=None)
             if len(b)
         ]
-        reps_t = rep_elect(
-            pa.concat_tables(tables, promote_options="default") if tables else sel_empty
-        )
-        reps = ray.data.from_arrow(reps_t)
-        n_reps = reps_t.num_rows
+        losers_t = elect_losers(pa.concat_tables(tables) if tables else sel_empty)
     else:
-        reps = packed_exchange(
-            sel, ["cleaned_md5"], max(8, cpus // 4), rep_elect, sel_empty
-        ).materialize()
-        n_reps = reps.count()
+        refs = (
+            packed_exchange(
+                sel, ["cleaned_md5"], max(8, cpus // 4), elect_losers, sel_empty
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        # Empty exchange partitions surface as zero-column blocks.
+        parts = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+        losers_t = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({id_col: pa.array([], type=pa.int64())})
+        )
+    exact_losers = np.sort(
+        losers_t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n_reps = n_nonempty - int(exact_losers.size)
+    losers_ref = ray.put(exact_losers)
+
+    def reps_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, ray.get(losers_ref))))
+
+    # reps stays a LAZY filter over the materialized nonempty corpus —
+    # the text is read in place for signatures, never reshuffled.
+    reps = nonempty.map_batches(
+        reps_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     sigs = ngram_minhash_signatures_wide(
         reps, id_col=id_col, text_col="cleaned_text", num_perm=num_perm
@@ -306,9 +333,6 @@ def corpus_prep_tiered(
     cid = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
     did = clusters.column(id_col).to_numpy(zero_copy_only=False)
     dropped = np.sort(did[did != cid].astype(np.int64))  # O(near-dup docs)
-    # Broadcast once (ray.put), read zero-copy per worker — the same
-    # O(removals) pattern as paragraph clean's rebuild; a closure-captured
-    # array would re-ship with every task.
     dropped_ref = ray.put(dropped)
 
     partial_schema = pa.schema(
