@@ -1053,6 +1053,31 @@ def q_substring_dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def q_substring_dup_spans_sa(sf_dir: str) -> pa.Table:
+    """Suffix-array realization of the same operator (pipelines/sarray.py:
+    L-truncated Manber-Myers prefix doubling over the 0xFF-separated
+    corpus, byte-exact suffix groups instead of gram hashes — hash-free
+    and collision-free). Shares substring_dup_spans' raw-substring DuckDB
+    oracle verbatim AND is equivalence-tested against the gram path; at
+    this scale the corpus is one SA, so the result is globally exact."""
+    from plakar_ray.pipelines.sarray import substring_dup_spans_sa
+
+    out = (
+        substring_dup_spans_sa(
+            _docs(sf_dir, ["doc_id", "text"]), gram_len=SUBSTR_GRAM_LEN
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "dup_spans": pa.array(out["dup_spans"], type=pa.int64()),
+            "dup_span_bytes": pa.array(out["dup_span_bytes"], type=pa.int64()),
+        }
+    )
+
+
 def q_substring_dup_spans_winnow(sf_dir: str) -> pa.Table:
     """Winnowed scale path of substring_dup_spans (rows-only: the rolling
     polynomial gram hash has no SQL analogue; the winnowing SELECTION and
@@ -1276,6 +1301,7 @@ def queries():
         "cross_doc_dup_bytes_fixed": q_cross_doc_dup_bytes_fixed,
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_dup_spans_sa": q_substring_dup_spans_sa,
         "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
         "substring_dup_spans_winnow_md5": q_substring_dup_spans_winnow_md5,
         "substring_dedup_clean": q_substring_dedup_clean,
@@ -2382,6 +2408,10 @@ def oracle_sql():
     # Salting (sub-bucket split + hub reconnect) must not change cluster
     # assignments, so the salted twin shares the unsalted oracle verbatim.
     sql["minhash_lsh_clusters_salted_md5"] = sql["minhash_lsh_clusters_md5"]
+    # The suffix-array realization computes the identical cross-document
+    # duplicated-span semantics (byte-exact suffix groups instead of gram
+    # hashes), so it shares the raw-substring oracle verbatim.
+    sql["substring_dup_spans_sa"] = sql["substring_dup_spans"]
     return sql
 
 
