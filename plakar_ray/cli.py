@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--avg", type=int, default=8 * 1024)
         sp.add_argument("--max", type=int, default=64 * 1024)
         sp.add_argument("--num-cpus", type=int, default=0)
+        sp.add_argument(
+            "--address", default="local",
+            help='Ray address: "local" starts a private single-node session'
+            ' (default); "auto" attaches to the running cluster — what a'
+            " `ray job submit` entrypoint passes (jobs/README.md)",
+        )
 
     sp = sub.add_parser("analyze")
     common(sp)
@@ -107,9 +113,11 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = not ray.is_initialized()
     if owns_session:
-        kwargs = dict(address="local", include_dashboard=False, logging_level="error")
-        if args.num_cpus:
-            kwargs["num_cpus"] = args.num_cpus
+        kwargs = dict(address=args.address, logging_level="error")
+        if args.address == "local":
+            kwargs["include_dashboard"] = False
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
 
     code = 0
