@@ -26,6 +26,13 @@ is required; under `local_threshold_bytes` the whole corpus fits one
 SA and the result is globally exact (the driver-checked query shape).
 Working set is ~5 int64 arrays over the padded corpus per doubling
 round (~40 B/byte), so size SA partitions to ~256 MB of text per task.
+
+Measured cost (BENCH/sarray_scale_r4.json): ~2 MB/s/core at L=24 —
+sort-bound, 3 u64 argsorts per partition (the same order as published
+ExactSubstr suffix-array builds); the gram/winnow exchange path runs
+~100x faster per core. Use the SA where byte-exactness is the point
+(certification, within-shard final pass, oracle twin), the winnowed
+gram exchange where throughput is.
 """
 
 from __future__ import annotations
@@ -34,10 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from plakar_ray.functions.arrowbytes import byte_views
-from plakar_ray.pipelines.dedup import (
-    _cross_doc_positions,
-    _merge_span_batch,
-)
+from plakar_ray.pipelines.dedup import _merge_span_batch
 
 # One 0xFF byte never occurs in valid UTF-8 (max legal byte is 0xF4); a
 # run of L of them between documents guarantees no L-byte window that
@@ -49,41 +53,79 @@ _SEP_BYTE = 0xFF
 
 def truncated_suffix_groups(data: np.ndarray, L: int) -> np.ndarray:
     """Group id per suffix of `data` (uint8), grouping suffixes by their
-    first min(L, remaining) bytes — the rank array of an L-truncated
-    suffix array built by Manber-Myers prefix doubling (ceil(log2 L)
-    lexsort rounds; the final round pairs span-s ranks at offset L-s so
-    the grouping is by EXACTLY L bytes, not the next power of two).
+    first L bytes — the rank array of an L-truncated suffix array built
+    by Manber-Myers prefix doubling, with two speedups that keep it
+    byte-exact:
 
-    Two full-window positions i, j (i + L <= n) satisfy
-    group[i] == group[j]  <=>  data[i:i+L] == data[j:j+L], byte-exact.
-    Suffixes shorter than L rank their missing tail as -1 (< any byte),
-    so they never collide with a full window. Early-exits when every
-    suffix is already in its own group (no duplicate possible).
+    - the seed round ranks by the first min(L, 8) bytes at once (one
+      big-endian u64 word per position, one argsort) instead of starting
+      at span 1, so L=24 needs 3 sorts total (8 -> 16 -> 24);
+    - each doubling round packs (rank, shifted rank) into ONE uint64
+      sort key (both halves < 2^32 — per-task partitions are far below
+      4 GiB) so every round is a single-key argsort, not a 2-key
+      lexsort. The final round pairs span-s ranks at offset L-s, so the
+      grouping is by EXACTLY L bytes.
+
+    Contract (what _sa_dup_positions relies on): for any two FULL-window
+    positions i, j (i + L <= n and j + L <= n),
+    group[i] == group[j]  <=>  data[i:i+L] == data[j:j+L], byte-exact —
+    every compared byte of a full window is a real byte at every round.
+    Positions within L-1 of the end pad their word reads with 0xFF;
+    their group ids are only meaningful relative to each other (callers
+    never use them — window starts past n-L are not candidates).
+    Early-exits when every position is already in its own group.
     """
+    return _groups_and_order(data, L)[0]
+
+
+def _groups_and_order(data: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """(rank, order): rank is truncated_suffix_groups' contract; order is
+    the L-truncated suffix array itself — positions sorted so that
+    rank[order] is non-decreasing (the final round's sort, free to
+    reuse: _sa_dup_positions groups candidates along it with no extra
+    sort)."""
     n = int(data.size)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    if n >= 1 << 32:
+        raise ValueError("suffix-array partition exceeds 2^32 bytes; shard it")
     L = max(1, int(L))
-    rank = data.astype(np.int64)  # span-1 ranks: the bytes themselves
-    span = 1
-    key2 = np.empty(n, dtype=np.int64)
-    while span < L:
+
+    # Seed: rank by the first min(L, 8) bytes via one u64-word argsort.
+    s0 = min(L, 8)
+    word = np.zeros(n, dtype=np.uint64)
+    for j in range(min(s0, n)):
+        b = np.full(n, _SEP_BYTE, dtype=np.uint8)
+        b[: n - j] = data[j:]
+        word |= b.astype(np.uint64) << np.uint64(8 * (s0 - 1 - j))
+    if s0 > n:  # the missing low bytes are all-pad, a shared constant
+        pad = sum(_SEP_BYTE << (8 * (s0 - 1 - j)) for j in range(n, s0))
+        word |= np.uint64(pad)
+    order = np.argsort(word)  # grouping needs no stability: quicksort
+    w_s = word[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = w_s[1:] != w_s[:-1]
+    rank = np.empty(n, dtype=np.uint64)
+    rank[order] = np.cumsum(new) - 1
+    n_groups = int(new.sum())
+    span = s0
+
+    combined = word  # reuse the u64 scratch
+    while span < L and n_groups < n:
         step = min(span, L - span)  # new span = span + step, capped at L
-        key2[: n - step] = rank[step:]
-        key2[n - step :] = -1
-        order = np.lexsort((key2, rank))
-        r_s, k_s = rank[order], key2[order]
-        new = np.empty(n, dtype=bool)
+        # combined = rank * 2^32 + (rank[i+step] + 1), 0 past the end
+        np.left_shift(rank, np.uint64(32), out=combined)
+        combined[: n - step] |= rank[step:] + np.uint64(1)
+        order = np.argsort(combined)
+        c_s = combined[order]
         new[0] = True
-        new[1:] = (r_s[1:] != r_s[:-1]) | (k_s[1:] != k_s[:-1])
+        new[1:] = c_s[1:] != c_s[:-1]
+        rank[order] = np.cumsum(new) - 1
         n_groups = int(new.sum())
-        nxt = np.empty(n, dtype=np.int64)
-        nxt[order] = np.cumsum(new) - 1
-        rank = nxt
-        if n_groups == n:  # all suffixes distinct: refinement is a no-op
-            break
         span += step
-    return rank
+    return rank.astype(np.int64), order
 
 
 def _sa_dup_positions(
@@ -121,22 +163,50 @@ def _sa_dup_positions(
         shift = np.repeat(starts - (offsets[:-1].astype(np.int64) - base), lens)
         buf[src + shift] = data[base : base + nbytes]
 
-    group = truncated_suffix_groups(buf, L)
+    rank, sa_order = _groups_and_order(buf, L)
 
     # Candidate positions: stride-1 window starts fully inside a doc.
     within = np.arange(total, dtype=np.int64) - np.repeat(
         np.cumsum(counts) - counts, counts
     )
     cand = np.repeat(starts, counts) + within
-    return _cross_doc_positions(
-        pa.table(
-            {
-                "gram64": pa.array(group[cand].astype(np.uint64), type=pa.uint64()),
-                id_col: pa.array(np.repeat(ids, counts), type=pa.int64()),
-                "pos": pa.array(within, type=pa.int64()),
-            }
-        ),
-        id_col,
+    is_cand = np.zeros(buf.size, dtype=bool)
+    is_cand[cand] = True
+    # The SA order IS a group-sorted walk: filtering it to candidates
+    # keeps them grouped with NO extra sort (sort cost is the whole
+    # kernel, see the bench note in substring_dup_spans_sa).
+    sel_sorted = sa_order[is_cand[sa_order]]
+    m = sel_sorted.size
+    if m == 0:
+        return empty
+    g_s = rank[sel_sorted]
+    newg = np.empty(m, dtype=bool)
+    newg[0] = True
+    newg[1:] = g_s[1:] != g_s[:-1]
+    gstart = np.flatnonzero(newg)
+    # Cross-doc rule, cheap form: suffix groups are byte-exact, so a
+    # window is duplicated across documents iff its group's doc ids are
+    # not all equal — min(id) != max(id) per group (>= 2 distinct needs
+    # only min != max, no per-group distinct count).
+    doc_of = np.repeat(
+        np.arange(len(lens), dtype=np.int32), lens + L
+    )  # buffer position -> doc row (one cheap repeat, no binary search)
+    doc_idx = doc_of[sel_sorted]
+    id_s = ids[doc_idx]
+    keep_group = np.minimum.reduceat(id_s, gstart) != np.maximum.reduceat(
+        id_s, gstart
+    )
+    if not keep_group.any():
+        return empty
+    gsize = np.diff(np.append(gstart, m))
+    keep = np.repeat(keep_group, gsize)
+    return pa.table(
+        {
+            id_col: pa.array(id_s[keep], type=pa.int64()),
+            "pos": pa.array(
+                sel_sorted[keep] - starts[doc_idx[keep]], type=pa.int64()
+            ),
+        }
     )
 
 
