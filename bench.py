@@ -292,6 +292,9 @@ def bench_queries(sf_dir: str) -> dict:
         "embedding_ivf_topk",
         "cross_doc_dup_bytes",
         "substring_dup_spans",
+        # suffix-array realization (byte-exact, exchange-free): the same
+        # semantics, hash-free — sort-bound, so watch its share here.
+        "substring_dup_spans_sa",
         "doc_quality",
         "lang_id",
         # evidence-twin guard (VERDICT r2 #9): the md5 verification path
