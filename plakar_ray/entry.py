@@ -391,6 +391,16 @@ def q_doc_quality(sf_dir: str) -> pa.Table:
     )
 
 
+def q_unigram_logppl(sf_dir: str) -> pa.Table:
+    """CCNet-style unigram-LM quality score (pipelines/text.unigram_logppl:
+    per-doc mean negative log-likelihood under the corpus's own unigram
+    distribution, e6 fixed point) — exact at any vocabulary size via a
+    token-keyed then doc-keyed packed exchange, nothing broadcast."""
+    from plakar_ray.pipelines.text import unigram_logppl
+
+    return unigram_logppl(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_lang_id(sf_dir: str) -> pa.Table:
     from plakar_ray.pipelines.text import doc_lang_id
 
@@ -1277,6 +1287,7 @@ def queries():
         "semantic_dedup_det": q_semantic_dedup_det,
         "doc_text_stats": q_doc_text_stats,
         "doc_quality": q_doc_quality,
+        "unigram_logppl": q_unigram_logppl,
         "lang_id": q_lang_id,
         "token_stats_by_lang": q_token_stats_by_lang,
         "top_tokens": q_top_tokens,
@@ -1815,6 +1826,29 @@ def oracle_sql():
             SELECT doc_id, n_chars, n_tokens,
                    floor(((ls + a_s + ts) / 3.0) * 1000000.0 + 0.5)::BIGINT AS quality_e6
             FROM q ORDER BY doc_id
+        """,
+        # Same tokenizer as the Ray path (split on [^a-z0-9]+ of the
+        # lowercased text == extract [a-z0-9]+ runs); logppl = ln(T) -
+        # mean ln(corpus count of each token occurrence). The sum is
+        # grouped per (doc, token) on both sides (c * ln(gc)) so float
+        # association matches to well under the e6 rounding grain.
+        "unigram_logppl": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ), per AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, tok
+            ), g AS (
+              SELECT tok, sum(c)::BIGINT AS gc FROM per GROUP BY tok
+            ), t AS (SELECT sum(c)::DOUBLE AS T FROM per),
+            agg AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens, sum(c * ln(gc)) AS s
+              FROM per JOIN g USING (tok) GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   floor((ln(T) - s / n_tokens) * 1e6 + 0.5)::BIGINT AS logppl_e6
+            FROM agg, t ORDER BY doc_id
         """,
         "unique_chunk_store": f"""
             WITH e AS (

@@ -167,3 +167,164 @@ def top_tokens(
             "count": pa.array(totals["count"].tolist(), type=pa.int64()),
         }
     )
+
+
+def unigram_logppl(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    local_threshold: int = 1_000_000,
+):
+    """CCNet-style unigram language-model quality score (Wenzek et al.
+    2020 filter their Common-Crawl corpus on LM perplexity; the unigram
+    form is the SQL-checkable realization): per document,
+
+        logppl = ln(T) - (1/n) * sum_{occurrences} ln(count(token))
+
+    where count() is the CORPUS-wide token count and T the corpus token
+    total — the mean negative log-likelihood under the corpus's own
+    unigram distribution (low = boilerplate-ish/common tokens, high =
+    rare-token noise). Returns (doc_id, n_tokens, logppl_e6) for every
+    doc with >= 1 token, e6 fixed-point (the repo's float-hash rule).
+
+    Scale shape — exact at ANY vocabulary size, nothing broadcast and no
+    driver-side vocabulary (the same discipline as the token-Jaccard
+    join): map-side (token, doc, cnt) partials, ONE token-keyed packed
+    exchange where each partition owns its tokens globally (global
+    counts by construction, then per-doc partial scores inside the
+    partition), ONE doc-keyed packed exchange summing per-doc partials.
+    T = sum of per-doc n (every occurrence lands in exactly one doc
+    partial), so no extra global pass. Result rows are O(docs)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from plakar_ray.functions.exchange import packed_exchange
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_part = max(8, cpus // 2)
+
+    def doc_token_partials(batch: pa.Table) -> pa.Table:
+        """(token, doc_id, cnt) per distinct (doc, token) of this batch —
+        the map-side combiner (shuffles counts, not occurrences)."""
+        lower = pc.utf8_lower(batch.column(text_col))
+        lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        flat = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        toks = flat.flatten()
+        parent = pc.list_parent_indices(flat)
+        t = pa.table(
+            {
+                "token": toks,
+                id_col: batch.column(id_col).take(parent),
+            }
+        ).filter(pc.not_equal(toks, ""))
+        g = t.group_by(["token", id_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "token": g.column("token"),
+                id_col: g.column(id_col),
+                "cnt": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    partial_schema = pa.schema(
+        [(id_col, pa.int64()), ("n", pa.int64()), ("s", pa.float64())]
+    )
+
+    def token_score_partials(part: pa.Table) -> pa.Table:
+        """One partition owns every row of its tokens: global per-token
+        counts, then per-doc partial (n, sum cnt*ln(gcount))."""
+        if part.num_rows == 0:
+            return partial_schema.empty_table()
+        gcnt = part.group_by("token").aggregate([("cnt", "sum")])
+        joined = part.join(gcnt, keys="token")
+        ids = joined.column(id_col).to_numpy(zero_copy_only=False)
+        cnt = joined.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        g = joined.column("cnt_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+        contrib = cnt * np.log(g)
+        order = np.argsort(ids, kind="stable")
+        ids_s, cnt_s, con_s = ids[order], cnt[order], contrib[order]
+        new = np.empty(ids_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = ids_s[1:] != ids_s[:-1]
+        dstart = np.flatnonzero(new)
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[dstart], type=pa.int64()),
+                "n": pa.array(
+                    np.add.reduceat(cnt_s, dstart).astype(np.int64), type=pa.int64()
+                ),
+                "s": pa.array(np.add.reduceat(con_s, dstart), type=pa.float64()),
+            }
+        )
+
+    def merge_doc_partials(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return partial_schema.empty_table()
+        g = part.group_by(id_col).aggregate([("n", "sum"), ("s", "sum")])
+        return pa.table(
+            {
+                id_col: g.column(id_col),
+                "n": g.column("n_sum"),
+                "s": g.column("s_sum"),
+            }
+        )
+
+    rows = ds.map_batches(
+        doc_token_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    token_empty = pa.table(
+        {
+            "token": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=pa.int64()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+    rows = rows.materialize()
+    if local_threshold and rows.count() <= local_threshold:
+        tables = [
+            b
+            for b in rows.iter_batches(batch_format="pyarrow", batch_size=None)
+            if len(b)
+        ]
+        merged = pa.concat_tables(tables) if tables else token_empty
+        per_doc = merge_doc_partials(token_score_partials(merged))
+    else:
+        scored = packed_exchange(
+            rows, ["token"], n_part, token_score_partials, token_empty
+        )
+        parts = [
+            t
+            for t in (
+                ray.get(r) for r in scored.materialize().to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        # doc partials are O(docs x n_part): the doc-keyed merge can run
+        # driver-side for the contract query; at corpus scale keep it as
+        # a second packed_exchange (same function) and write per shard.
+        per_doc = merge_doc_partials(
+            pa.concat_tables(parts) if parts else partial_schema.empty_table()
+        )
+
+    ids = per_doc.column(id_col).to_numpy(zero_copy_only=False)
+    n = per_doc.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    s = per_doc.column("s").to_numpy(zero_copy_only=False)
+    T = float(n.sum())
+    keep = n > 0
+    ids, n, s = ids[keep], n[keep], s[keep]
+    logppl = np.log(T) - s / n
+    order = np.argsort(ids, kind="stable")
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], type=pa.int64()),
+            "n_tokens": pa.array(n[order].astype(np.int64), type=pa.int64()),
+            "logppl_e6": pa.array(
+                np.floor(logppl[order] * 1e6 + 0.5).astype(np.int64),
+                type=pa.int64(),
+            ),
+        }
+    )

@@ -1159,3 +1159,43 @@ def test_asof_join_pre_epoch_right_ts(ray_session):
         assert out.loc[0, "asof_value"] == 42.0
         assert out.loc[0, "asof_ts"] == pd.Timestamp("1969-12-31 23:59:59")
         assert pd.isna(out.loc[1, "asof_value"])  # key 8 has no right rows
+
+
+def test_unigram_logppl(ray_session):
+    """CCNet-style unigram LM score: brute-force oracle on a tiny corpus,
+    distributed path == local path, boilerplate scores lower than rare-
+    token docs."""
+    import math
+
+    import ray.data
+
+    from plakar_ray.pipelines.text import unigram_logppl
+
+    docs = [
+        "the the the the",          # all-common tokens -> low logppl
+        "the and zebra quux",       # rare tokens -> high logppl
+        "THE And?the;and",          # tokenizer: lowercase + [^a-z0-9]+ split
+        "",                         # no tokens -> excluded
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), type=pa.int64()), "text": docs})
+    )
+    out = unigram_logppl(ds).to_pandas().set_index("doc_id")
+    toks = [
+        [t for t in d.lower().replace("?", " ").replace(";", " ").split() if t]
+        for d in docs
+    ]
+    from collections import Counter
+
+    counts = Counter(t for ts in toks for t in ts)
+    T = sum(counts.values())
+    assert set(out.index) == {0, 1, 2}
+    for d in (0, 1, 2):
+        n = len(toks[d])
+        want = math.log(T) - sum(math.log(counts[t]) for t in toks[d]) / n
+        assert out.loc[d, "n_tokens"] == n
+        assert out.loc[d, "logppl_e6"] == math.floor(want * 1e6 + 0.5)
+    assert out.loc[0, "logppl_e6"] < out.loc[1, "logppl_e6"]
+    # forced-exchange path is value-identical
+    dist = unigram_logppl(ds, local_threshold=1).to_pandas().set_index("doc_id")
+    assert dist.equals(out)
