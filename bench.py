@@ -297,6 +297,9 @@ def bench_queries(sf_dir: str) -> dict:
         "substring_dup_spans_sa",
         "doc_quality",
         "lang_id",
+        # CCNet-style unigram-LM quality score (token- then doc-keyed
+        # packed exchanges; vocabulary never broadcast).
+        "unigram_logppl",
         # evidence-twin guard (VERDICT r2 #9): the md5 verification path
         # must not silently dominate if the driver scales its check corpus.
         "minhash_lsh_clusters_md5",
