@@ -296,17 +296,21 @@ def unigram_logppl(
         scored = packed_exchange(
             rows, ["token"], n_part, token_score_partials, token_empty
         )
+        # Second exchange: doc-keyed merge of the O(docs x n_part) partials
+        # — one final row per doc; only the result table reaches the driver.
+        merged = packed_exchange(
+            scored,
+            [id_col],
+            max(4, n_part // 2),
+            merge_doc_partials,
+            partial_schema.empty_table(),
+        )
         parts = [
             t
-            for t in (
-                ray.get(r) for r in scored.materialize().to_arrow_refs()
-            )
+            for t in (ray.get(r) for r in merged.materialize().to_arrow_refs())
             if t.num_rows
         ]
-        # doc partials are O(docs x n_part): the doc-keyed merge can run
-        # driver-side for the contract query; at corpus scale keep it as
-        # a second packed_exchange (same function) and write per shard.
-        per_doc = merge_doc_partials(
+        per_doc = (
             pa.concat_tables(parts) if parts else partial_schema.empty_table()
         )
 
