@@ -38,6 +38,18 @@ def test_contract_shape(ray_session):
     assert len(oracles) >= 12
 
 
+def test_oracle_queries_inside_driver_window(ray_session):
+    """The driver's CORRECTNESS artifact records only the first 50
+    registered queries (docs/correctness_window.md).  Every SQL-oracle
+    query must sit inside that window or it silently loses its driver
+    value check."""
+    import __ray_entry__ as E
+
+    window = list(E.queries())[:50]
+    outside = set(E.oracle_sql()) - set(window)
+    assert not outside, f"SQL-oracle queries past the 50-entry window: {sorted(outside)}"
+
+
 def test_entry_runs(ray_session):
     import __ray_entry__ as E
 
