@@ -66,6 +66,110 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+def _collect_table(ds) -> pa.Table | None:
+    """Stream a (small, bounded-by-contract) Dataset into one Arrow table
+    without the per-row object conversion of `to_pandas()`."""
+    tbls = [
+        t
+        for t in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        if t.num_rows
+    ]
+    return pa.concat_tables(tbls) if tbls else None
+
+
+def _fit_kmeans_sharded(
+    ds,
+    n_clusters: int,
+    vec_col: str,
+    seed: int,
+    n_iters: int = 4,
+) -> np.ndarray | None:
+    """Sharded spherical-Lloyd k-means fit over the FULL corpus.
+
+    `ds` must be materialized (each iteration is one full pass over its
+    blocks). Init draws n_clusters seed vectors via a seeded bounded
+    random sample; each Lloyd iteration broadcasts the centroid matrix
+    once (ray.put) and reduces SPARSE per-block partials — one
+    (cell, count, sum-vector) row per non-empty cell per block, at most
+    min(K, block_rows) rows — folded incrementally on the driver, so
+    driver memory is O(K x dim) and per-block partial size is bounded
+    regardless of corpus size. Empty cells keep their previous centroid.
+    Deterministic for a given (blocks, seed)."""
+    import ray
+
+    n = ds.count()
+    if n == 0:
+        return None
+    k = int(min(n_clusters, n))
+    if n > k:
+        init = _collect_table(
+            ds.random_sample(min(1.0, (2.0 * k + 16.0) / n), seed=seed).limit(k)
+        )
+        if init is None or init.num_rows < k:  # freak thin draw: prefix fallback
+            init = _collect_table(ds.limit(k))
+    else:
+        init = _collect_table(ds)
+    sm = _normalize(_matrix(init, vec_col))
+    rng = np.random.default_rng(seed)
+    cent = sm[rng.choice(sm.shape[0], size=min(k, sm.shape[0]), replace=False)]
+    dim = cent.shape[1]
+    empty_partial = pa.table(
+        {
+            "cell": pa.array([], type=pa.int64()),
+            "count": pa.array([], type=pa.int64()),
+            "sum": pa.array([], type=pa.list_(pa.float64(), dim)),
+        }
+    )
+
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent)
+
+        def partial_stats(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(_matrix(batch, vec_col))
+            if m.shape[0] == 0:
+                return empty_partial
+            a = (m @ c.T).argmax(axis=1)
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            starts = np.flatnonzero(np.concatenate(([True], sa[1:] != sa[:-1])))
+            sums = np.add.reduceat(m[order], starts, axis=0)
+            return pa.table(
+                {
+                    "cell": pa.array(sa[starts], type=pa.int64()),
+                    "count": pa.array(
+                        np.diff(np.append(starts, sa.size)), type=pa.int64()
+                    ),
+                    "sum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.reshape(-1), type=pa.float64()), dim
+                    ),
+                }
+            )
+
+        sums = np.zeros((cent.shape[0], dim), dtype=np.float64)
+        counts = np.zeros(cent.shape[0], dtype=np.int64)
+        partials = ds.map_batches(
+            partial_stats, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            cells = b.column("cell").to_numpy(zero_copy_only=False)
+            sv = b.column("sum")
+            if isinstance(sv, pa.ChunkedArray):
+                sv = sv.combine_chunks()
+            s = sv.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+            # one iter_batches batch may merge several blocks' partials,
+            # so cell ids can repeat: scatter-ADD, not assignment
+            np.add.at(sums, cells, s)
+            np.add.at(counts, cells, b.column("count").to_numpy(zero_copy_only=False))
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = sums[nz] / counts[nz][:, None]
+        cent = _normalize(new)
+    return cent
+
+
 def brute_force_topk(
     ds,
     queries: np.ndarray,
@@ -125,46 +229,28 @@ def ivf_topk(
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
 ) -> pa.Table:
-    """IVF approximate top-k: k-means centroids fitted on a sample
-    (driver-side, few iterations), vectors assigned to centroids inside
-    map_batches (centroids broadcast), search restricted to the n_probe
-    closest centroids per query. Same output schema as brute_force_topk.
+    """IVF approximate top-k: k-means centroids fitted with the sharded
+    full-corpus Lloyd pass (_fit_kmeans_sharded — seeded-sample init,
+    map-side sparse partials, driver fold bounded at K x dim), vectors
+    assigned to centroids inside map_batches (centroids broadcast), search
+    restricted to the n_probe closest centroids per query. Same output
+    schema as brute_force_topk.
 
     `centroids` (optional, raw vectors — normalized here) skips the k-means
     fit; used by the driver-verified deterministic twin
     (entry.q_embedding_ivf_topk_det), which probes fixed centroids a DuckDB
-    oracle can reproduce."""
+    oracle can reproduce. `sample_size` is retained for signature
+    compatibility; init sampling is sized by n_clusters now."""
     import ray
 
+    del sample_size  # superseded by the sharded fit's k-sized init draw
     if centroids is not None:
         cent = _normalize(np.asarray(centroids, dtype=np.float64))
     else:
-        # Seeded RANDOM sample, not a storage-order prefix (source-grouped
-        # input would collapse the centroids into one region).
         ds = ds.materialize()
-        n = ds.count()
-        if n > sample_size:
-            sample = (
-                ds.random_sample(min(1.0, 1.2 * sample_size / n), seed=seed)
-                .limit(sample_size)
-                .to_pandas()
-            )
-            if len(sample) == 0:
-                sample = ds.limit(sample_size).to_pandas()
-        else:
-            sample = ds.to_pandas()
-        sm = _normalize(
-            np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-        )
-        rng = np.random.default_rng(seed)
-        cent = sm[rng.choice(sm.shape[0], size=min(n_clusters, sm.shape[0]), replace=False)]
-        for _ in range(8):  # Lloyd iterations on the sample
-            assign = (sm @ cent.T).argmax(axis=1)
-            for c in range(cent.shape[0]):
-                members = sm[assign == c]
-                if members.shape[0]:
-                    cent[c] = members.mean(axis=0)
-            cent = _normalize(cent)
+        cent = _fit_kmeans_sharded(ds, n_clusters, vec_col, seed)
+        if cent is None:
+            cent = np.zeros((1, 1), dtype=np.float64)  # empty ds: no-op search
     cent_ref = ray.put(cent)
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -280,11 +366,7 @@ def cosine_near_dup_pairs(
 
     def norm_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col)
-        m = _normalize(
-            np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()]
-            )
-        )
+        m = _normalize(_matrix(batch, vec_col))
         dim = m.shape[1] if m.ndim == 2 else 0
         return pa.table(
             {
@@ -428,8 +510,10 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
-    sample_size: int = 2048,
     centroids: np.ndarray | None = None,
+    target_cell_size: int = 1024,
+    max_clusters: int = 65536,
+    fit_iters: int = 4,
 ):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.03540): cluster the
     embedding space, then dedup WITHIN each cluster by pairwise cosine —
@@ -443,13 +527,19 @@ def semantic_dedup(
     some smaller-id vector in the same cell has cosine >= threshold, and
     `dup_of` is the smallest such id (-1 when kept).
 
-    Shape: centroids fitted on a driver-side sample (or passed fixed —
-    the SQL-checkable twin entry.q_semantic_dedup_det), broadcast via
-    ray.put; assignment is one matmul per batch; ONE packed exchange on
-    the cell id co-locates each cluster (a cluster is one group in one
-    partition — never a driver table); the per-cell n^2 matmul is the
-    SemDeDup contract (size K so that corpus_n/K keeps cells small; at
-    10^12 docs K ~ n/1000 with a sharded kmeans fit)."""
+    Shape: centroids fitted by the SHARDED full-corpus Lloyd pass
+    (_fit_kmeans_sharded: seeded-sample init, map-side sparse
+    (cell,count,sum) partials, driver fold bounded at K x dim) — or
+    passed fixed (the SQL-checkable twin entry.q_semantic_dedup_det) —
+    broadcast via ray.put; assignment is one matmul per batch; ONE packed
+    exchange on the cell id co-locates each cluster (a cluster is one
+    group in one partition — never a driver table); the per-cell n^2
+    matmul is the SemDeDup contract. K scales with corpus size:
+    K = clamp(n / target_cell_size, [n_clusters, max_clusters]), so the
+    expected cell is ~target_cell_size rows and per-cell work stays
+    bounded as the corpus grows (the paper's K ~ n/1000 regime); the
+    max_clusters ceiling bounds the broadcast centroid matrix (at 65536
+    x 768 float64 ~ 400 MB — raise it only with object-store headroom)."""
     import ray
     import ray.data
 
@@ -466,37 +556,12 @@ def semantic_dedup(
     if centroids is not None:
         cent = _normalize(np.asarray(centroids, dtype=np.float64))
     else:
-        # Seeded RANDOM sample, not a storage-order prefix: ordered or
-        # source-grouped input would otherwise put every centroid in one
-        # region and funnel most of the corpus into one quadratic cell.
         ds = ds.materialize()
         n = ds.count()
         if n == 0:
             return ray.data.from_arrow(empty_out)
-        if n > sample_size:
-            sample = (
-                ds.random_sample(min(1.0, 1.2 * sample_size / n), seed=seed)
-                .limit(sample_size)
-                .to_pandas()
-            )
-            if len(sample) == 0:  # freak empty draw: storage-order fallback
-                sample = ds.limit(sample_size).to_pandas()
-        else:
-            sample = ds.to_pandas()
-        sm = _normalize(
-            np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-        )
-        rng = np.random.default_rng(seed)
-        cent = sm[
-            rng.choice(sm.shape[0], size=min(n_clusters, sm.shape[0]), replace=False)
-        ]
-        for _ in range(8):
-            assign = (sm @ cent.T).argmax(axis=1)
-            for c in range(cent.shape[0]):
-                members = sm[assign == c]
-                if members.shape[0]:
-                    cent[c] = members.mean(axis=0)
-            cent = _normalize(cent)
+        k = int(min(max(n_clusters, n // max(target_cell_size, 1)), max_clusters, n))
+        cent = _fit_kmeans_sharded(ds, k, vec_col, seed, n_iters=fit_iters)
     cent_ref = ray.put(cent)
 
     def assign_batch(batch: pa.Table) -> pa.Table:

@@ -108,6 +108,68 @@ def test_semantic_dedup_matches_local_rule(ray_session):
     assert same_cell_pairs and all(d in dropped for _, d in same_cell_pairs)
 
 
+def test_sharded_kmeans_bounds_cells_on_skewed_input(ray_session):
+    """The 100-TB contract of SemDeDup is that per-cell work stays
+    bounded: K scales with n (target_cell_size) and the sharded Lloyd
+    fit must spread even a heavily SKEWED corpus (one dominant mode)
+    across many cells rather than funneling it into one quadratic cell."""
+    import ray.data
+
+    from plakar_ray.stages.embed import _fit_kmeans_sharded, semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    # 85% of rows live in one tight mode; the rest are 3 smaller modes
+    modes = rng.standard_normal((4, dim))
+    counts = [1700, 120, 100, 80]
+    vecs = np.vstack(
+        [m + 0.05 * rng.standard_normal((c, dim)) for m, c in zip(modes, counts)]
+    ).astype(np.float32)
+    n = vecs.shape[0]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), dim
+            ),
+        }
+    )
+    # K scaling: n=2000, target 100 -> K=20 (floor n_clusters=16 < 20)
+    out = (
+        semantic_dedup(
+            ray.data.from_arrow(t),
+            threshold=0.999,
+            n_clusters=16,
+            target_cell_size=100,
+        )
+        .to_pandas()
+    )
+    sizes = out.groupby("cell").size()
+    assert out["cell"].nunique() >= 10  # fit actually spread the corpus
+    # no quadratic funnel: largest cell well under the skewed mode's 1700
+    assert sizes.max() <= 0.35 * n
+    # direct fit check: every centroid row is a unit vector, K as requested
+    cent = _fit_kmeans_sharded(ray.data.from_arrow(t), 20, "embedding", seed=11)
+    assert cent.shape == (20, dim)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
+
+def test_sharded_kmeans_deterministic_and_fixed_centroid_twin_unchanged(ray_session):
+    """Same seed + same blocks => identical centroids (resumable /
+    driver-comparable); and the fixed-centroid path (the SQL-oracle twin
+    semantic_dedup_det) must bypass the fit entirely."""
+    import ray.data
+
+    from plakar_ray.stages.embed import _fit_kmeans_sharded
+
+    t, _ = _planted_embeddings()
+    a = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=3)
+    b = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=3)
+    assert np.array_equal(a, b)
+    c = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=4)
+    assert not np.array_equal(a, c)
+
+
 def test_semantic_dedup_tiled_equals_untiled(ray_session):
     """Forcing tiny Gram tiles (the hot-cell memory guard) must not change
     the election."""
