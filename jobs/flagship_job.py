@@ -93,19 +93,21 @@ def main(argv: list[str] | None = None) -> int:
             import numpy as np
             import pyarrow as pa
 
-            from plakar_ray.functions.exchange import _mix64
+            from plakar_ray.functions.exchange import _column_u64, _mix64
 
             summary, survivors = res
             n_shards, id_col = int(args.shards), args.id_col
 
             def add_shard(batch: pa.Table) -> pa.Table:
-                ids = (
-                    batch.column(id_col)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                    .view(np.uint64)
+                # _column_u64 passes integer ids through and FNV-hashes
+                # string/binary ids, so a text --id-col shards cleanly
+                # instead of dying in an int cast at the final write.
+                col = batch.column(id_col)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                shard = (_mix64(_column_u64(col)) % np.uint64(n_shards)).astype(
+                    np.int32
                 )
-                shard = (_mix64(ids) % np.uint64(n_shards)).astype(np.int32)
                 return batch.append_column("shard", pa.array(shard))
 
             survivors.map_batches(

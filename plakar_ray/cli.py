@@ -118,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["include_dashboard"] = False
             if args.num_cpus:
                 kwargs["num_cpus"] = args.num_cpus
+        elif args.num_cpus:
+            # Attaching to an existing cluster: its size is fixed, the
+            # flag would be silently ignored — refuse instead of letting
+            # `--address auto --num-cpus 8` quietly run on every core.
+            p.error(
+                "--num-cpus only applies to --address local; "
+                "an attached cluster's size is fixed at cluster start"
+            )
         ray.init(**kwargs)
 
     code = 0

@@ -684,13 +684,17 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
-    # SRP-LSH is the high-threshold (true near-dup) scale path; at 0.9 the
-    # pigeonhole piece search is near-exhaustive (recall gate in
-    # tests/test_ann.py). The driver's synthetic embeddings have no pairs
-    # this similar, so an empty result here is correct.
+    # SRP-LSH scale path (seeded-gaussian hyperplanes through the shared
+    # pigeonhole piece search; recall gate in tests/test_ann.py). The
+    # deployment threshold for true near-dups is ~0.9, but the driver's
+    # synthetic embeddings have no pairs that similar — 0.9 returned 0
+    # rows at sf0.01 in r1-r4, making the query unverifiable. 0.5 emits
+    # ~500 sf0.01 rows so a driver row actually exercises the sketch →
+    # piece → verify tail; the md5 twin (embedding_srp_pairs_md5) stays
+    # the SQL-value-checked certificate for the family.
     from plakar_ray.stages.embed import hyperplane_lsh_pairs
 
-    ds = hyperplane_lsh_pairs(_embeddings(sf_dir), threshold=0.9)
+    ds = hyperplane_lsh_pairs(_embeddings(sf_dir), threshold=0.5)
     out = ds.to_pandas()
     if len(out) == 0:
         return pa.table(

@@ -117,7 +117,8 @@ def _groups_and_order(data: np.ndarray, L: int) -> tuple[np.ndarray, np.ndarray]
         step = min(span, L - span)  # new span = span + step, capped at L
         # combined = rank * 2^32 + (rank[i+step] + 1), 0 past the end
         np.left_shift(rank, np.uint64(32), out=combined)
-        combined[: n - step] |= rank[step:] + np.uint64(1)
+        if step < n:  # step >= n: every second component is past-the-end
+            combined[: n - step] |= rank[step:] + np.uint64(1)
         order = np.argsort(combined)
         c_s = combined[order]
         new[0] = True
@@ -247,23 +248,28 @@ def substring_dup_spans_sa(
                 batch_format="pyarrow", batch_size=None
             )
         )
-        if total <= local_threshold_bytes:
-            tables = [
-                b
-                for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
-                if len(b)
-            ]
-            merged = (
-                pa.concat_tables(tables, promote_options="default")
-                if tables
-                else pa.table(
-                    {
-                        id_col: pa.array([], type=pa.int64()),
-                        text_col: pa.array([], type=pa.string()),
-                    }
+        if total == 0:
+            return ray.data.from_arrow(
+                block_spans(
+                    pa.table(
+                        {
+                            id_col: pa.array([], type=pa.int64()),
+                            text_col: pa.array([], type=pa.string()),
+                        }
+                    )
                 )
             )
-            return ray.data.from_arrow(block_spans(merged))
+        if total <= local_threshold_bytes:
+            # Single global SA, but in a WORKER task, not the driver: the
+            # SA working set is ~40 B per corpus byte, so a corpus just
+            # under the threshold needs ~10 GB — repartition(1) hands the
+            # whole corpus to one map task and keeps the driver thin.
+            return ds.repartition(1).map_batches(
+                block_spans,
+                batch_size=None,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
 
     return ds.map_batches(
         block_spans, batch_size=None, batch_format="pyarrow", zero_copy_batch=True

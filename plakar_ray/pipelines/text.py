@@ -283,7 +283,11 @@ def unigram_logppl(
             "cnt": pa.array([], type=pa.int64()),
         }
     )
-    rows = rows.materialize()
+    # Materialize (a pipeline barrier) only when the local-threshold gate
+    # is active and needs a row count; local_threshold=0 explicitly
+    # requests the streaming exchange path, so keep it barrier-free.
+    if local_threshold:
+        rows = rows.materialize()
     if local_threshold and rows.count() <= local_threshold:
         tables = [
             b

@@ -49,6 +49,26 @@ def test_truncated_groups_match_windows():
         assert len({int(g[i]) for i in firsts}) == len(firsts)
 
 
+def test_truncated_groups_pad_byte_small_input():
+    """Regression: inputs of 0xFF (== the pad byte) shorter than the
+    doubling step used to crash with a numpy broadcast error (the seed
+    ranks all collide, so the loop reached step > n). Any uint8 data of
+    any length must group correctly."""
+    for n in (1, 2, 3, 5, 7, 9):
+        for L in (8, 16, 24, 33):
+            data = np.full(n, 0xFF, dtype=np.uint8)
+            g = truncated_suffix_groups(data, L)
+            assert g.shape == (n,)
+            if n > L:
+                # equal windows (all-0xFF) share one group
+                assert len({int(x) for x in g[: n - L + 1]}) == 1
+    # mixed content around the pad byte still groups by window equality
+    data = np.array([0xFF, 0xFF, 1, 0xFF, 0xFF, 1, 0xFF], dtype=np.uint8)
+    g = truncated_suffix_groups(data, 3)
+    assert int(g[0]) == int(g[3])  # FF FF 01 == FF FF 01
+    assert int(g[0]) != int(g[1])
+
+
 def test_dup_positions_vs_brute_force():
     rng = np.random.default_rng(23)
     for _ in range(25):
