@@ -41,13 +41,20 @@ class RssSampler:
         self.peak_total = 0
         self.peak_single = 0
         self.peak_procs = 0
+        # (elapsed_s, rss_total_bytes, rss_single_bytes, cpu_sec) per tick —
+        # the series behind cdcbench's memory/cpu-over-time graphs
+        # (reference cmd/cdcbench/plot.go:89-151), rendered per suite run by
+        # _render_timeseries.
+        self.samples: list[tuple[float, int, int, float]] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     @staticmethod
     def _snapshot():
         me = str(os.getpid())
+        clk = os.sysconf("SC_CLK_TCK") or 100
         total = single = n = 0
+        cpu_ticks = 0
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
                 continue
@@ -69,16 +76,23 @@ class RssSampler:
                             single = max(single, b)
                             n += 1
                             break
-            except OSError:
+                with open(f"/proc/{pid}/stat") as f:
+                    # fields 14/15 (utime/stime) sit after the parenthesized
+                    # comm, which may itself contain spaces — split past ')'
+                    rest = f.read().rpartition(")")[2].split()
+                    cpu_ticks += int(rest[11]) + int(rest[12])
+            except (OSError, IndexError, ValueError):
                 continue
-        return total, single, n
+        return total, single, n, cpu_ticks / clk
 
     def _run(self):
+        t_start = time.time()
         while not self._stop.is_set():
-            t, s, n = self._snapshot()
+            t, s, n, cpu = self._snapshot()
             self.peak_total = max(self.peak_total, t)
             self.peak_single = max(self.peak_single, s)
             self.peak_procs = max(self.peak_procs, n)
+            self.samples.append((round(time.time() - t_start, 3), t, s, cpu))
             self._stop.wait(self.interval_s)
 
     def __enter__(self):
@@ -205,6 +219,7 @@ def bench_chunking(corpus, num_cpus: int) -> dict:
         "total_mb": total_mb,
         "mb_per_s": round(total_mb / wall, 1),
         **rss.report(),
+        "_samples": rss.samples,
     }
 
 
@@ -240,6 +255,7 @@ def bench_minhash(corpus, num_cpus: int) -> dict:
         "edges": int(n_edges),
         "mb_per_s": round(total_mb / wall, 1),
         **rss.report(),
+        "_samples": rss.samples,
     }
 
 
@@ -323,6 +339,48 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
+def _render_timeseries(stages: dict[str, list]) -> None:
+    """Mirror cdcbench's per-run graphs (reference cmd/cdcbench/plot.go:
+    renderGraphs: memory-over-time / cpu-over-time, one line per result):
+    render the sampled RSS and cumulative-CPU series of each benched stage
+    as SVGs under BENCH/. Best-effort — a plot failure must never fail the
+    bench."""
+    try:
+        from plakar_ray.functions.svgplot import line_chart
+
+        outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(outdir, exist_ok=True)
+        mem = {
+            name: ([s[0] for s in ss], [s[1] / 1e6 for s in ss])
+            for name, ss in stages.items()
+            if len(ss) >= 2
+        }
+        cpu = {
+            name: ([s[0] for s in ss], [s[3] for s in ss])
+            for name, ss in stages.items()
+            if len(ss) >= 2
+        }
+        if mem:
+            with open(os.path.join(outdir, "suite_memory_over_time.svg"), "w") as f:
+                f.write(
+                    line_chart(
+                        "Memory usage over time", "elapsed (s)", "RSS (MB)", mem
+                    )
+                )
+        if cpu:
+            with open(os.path.join(outdir, "suite_cpu_over_time.svg"), "w") as f:
+                f.write(
+                    line_chart(
+                        "Cumulative CPU time over wall-clock time",
+                        "elapsed (s)",
+                        "CPU (s)",
+                        cpu,
+                    )
+                )
+    except Exception as exc:  # pragma: no cover
+        print(f"timeseries plot skipped: {exc}", file=sys.stderr)
+
+
 def run_once(mode: str) -> dict:
     _init_ray(NUM_CPUS)
     st0, tot0 = _cpu_stat()
@@ -356,6 +414,17 @@ def run_once(mode: str) -> dict:
     if mode == "full":
         result["algos"] = bench_algos(corpus, NUM_CPUS)
         result["queries"] = bench_queries(SF_DIR)
+        _render_timeseries(
+            {
+                k: result[k].get("_samples", [])
+                for k in ("chunking", "minhash")
+                if isinstance(result.get(k), dict)
+            }
+        )
+    # the sample series feeds the SVGs only; keep the JSON line lean
+    for k in ("chunking", "signatures", "minhash"):
+        if isinstance(result.get(k), dict):
+            result[k].pop("_samples", None)
     st1, tot1 = _cpu_stat()
     result["steal_pct"] = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
     import ray
