@@ -77,12 +77,28 @@ def _collect_table(ds) -> pa.Table | None:
     return pa.concat_tables(tbls) if tbls else None
 
 
+def _lloyd_step(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """One spherical-Lloyd update of `cent` against the full matrix `m`
+    (the same sorted-reduceat math the sharded partials use); empty cells
+    keep their previous centroid."""
+    a = (m @ cent.T).argmax(axis=1)
+    order = np.argsort(a, kind="stable")
+    sa = a[order]
+    starts = np.flatnonzero(np.concatenate(([True], sa[1:] != sa[:-1])))
+    sums = np.add.reduceat(m[order], starts, axis=0)
+    counts = np.diff(np.append(starts, sa.size))
+    new = cent.copy()
+    new[sa[starts]] = sums / counts[:, None]
+    return _normalize(new)
+
+
 def _fit_kmeans_sharded(
     ds,
     n_clusters: int,
     vec_col: str,
     seed: int,
     n_iters: int = 4,
+    local_threshold_bytes: int = 64 << 20,
 ) -> np.ndarray | None:
     """Sharded spherical-Lloyd k-means fit over the FULL corpus.
 
@@ -94,7 +110,14 @@ def _fit_kmeans_sharded(
     min(K, block_rows) rows — folded incrementally on the driver, so
     driver memory is O(K x dim) and per-block partial size is bounded
     regardless of corpus size. Empty cells keep their previous centroid.
-    Deterministic for a given (blocks, seed)."""
+    Deterministic for a given (blocks, seed).
+
+    Small-corpus fast path: when the whole vector matrix fits in
+    `local_threshold_bytes` (float64), the Lloyd iterations run on the
+    driver over the full matrix — identical update rule, none of the
+    ~0.2 s-per-pass Ray orchestration that would dominate a small fit.
+    Scale runs always take the sharded path (the threshold is a byte
+    bound, not a row count, so wide embeddings cross over early)."""
     import ray
 
     n = ds.count()
@@ -113,6 +136,14 @@ def _fit_kmeans_sharded(
     rng = np.random.default_rng(seed)
     cent = sm[rng.choice(sm.shape[0], size=min(k, sm.shape[0]), replace=False)]
     dim = cent.shape[1]
+
+    if local_threshold_bytes and n * dim * 8 <= local_threshold_bytes:
+        full = _collect_table(ds.select_columns([vec_col]))
+        m = _normalize(_matrix(full, vec_col))
+        for _ in range(n_iters):
+            cent = _lloyd_step(m, cent)
+        return cent
+
     empty_partial = pa.table(
         {
             "cell": pa.array([], type=pa.int64()),

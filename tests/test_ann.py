@@ -163,11 +163,23 @@ def test_sharded_kmeans_deterministic_and_fixed_centroid_twin_unchanged(ray_sess
     from plakar_ray.stages.embed import _fit_kmeans_sharded
 
     t, _ = _planted_embeddings()
-    a = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=3)
-    b = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=3)
+    # force the SHARDED iteration path (threshold 0) — the scale path must
+    # be deterministic, not just the small-corpus driver loop
+    a = _fit_kmeans_sharded(
+        ray.data.from_arrow(t), 8, "embedding", seed=3, local_threshold_bytes=0
+    )
+    b = _fit_kmeans_sharded(
+        ray.data.from_arrow(t), 8, "embedding", seed=3, local_threshold_bytes=0
+    )
     assert np.array_equal(a, b)
-    c = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=4)
+    c = _fit_kmeans_sharded(
+        ray.data.from_arrow(t), 8, "embedding", seed=4, local_threshold_bytes=0
+    )
     assert not np.array_equal(a, c)
+    # the small-corpus driver loop runs the same update rule: same init,
+    # same assignments, centroids equal up to summation order
+    d = _fit_kmeans_sharded(ray.data.from_arrow(t), 8, "embedding", seed=3)
+    assert np.allclose(a, d, rtol=1e-8, atol=1e-12)
 
 
 def test_semantic_dedup_tiled_equals_untiled(ray_session):
