@@ -149,13 +149,23 @@ class ArrayUnionFind:
 def connected_components_ds(edges_ds, a_col: str = "id_a", b_col: str = "id_b") -> dict:
     """Driver-side union-find streaming over an edge Dataset's batches (never
     materializes more than one block of edges at a time). Integer id columns
-    take the vectorized ArrayUnionFind (no per-edge Python — the 2M-edge
-    switchover to label_propagation costs seconds, not GIL-minutes); other
-    id types fall back to the dict-based UnionFind."""
+    take the vectorized ArrayUnionFind directly (no per-edge Python — the
+    2M-edge switchover to label_propagation costs seconds, not GIL-minutes);
+    other id types are interned to dense codes per block (pyarrow unique +
+    index_in, Python only per UNSEEN unique key) and run through the same
+    ArrayUnionFind, with the representative re-derived as the min key VALUE
+    per component so results match the dict-based UnionFind exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.types as pt
 
     first = True
+    int_ids = True
     uf = None
+    code_of: dict = {}
+    keys: list = []
+    keys_arr = None  # pa.array(keys), rebuilt only when new keys appear
     # batch_size=None yields WHOLE blocks: iter_batches' default 4096-row
     # slicing makes _intern re-sort the accumulated key table per sliver
     # (470 sorts at 2M edges = minutes; whole blocks = seconds).
@@ -165,16 +175,43 @@ def connected_components_ds(edges_ds, a_col: str = "id_a", b_col: str = "id_b") 
             int_ids = pt.is_integer(batch.schema.field(a_col).type) and pt.is_integer(
                 batch.schema.field(b_col).type
             )
-            uf = ArrayUnionFind() if int_ids else UnionFind()
-        if isinstance(uf, ArrayUnionFind):
+            uf = ArrayUnionFind()
+        if int_ids:
             uf.absorb(
                 batch.column(a_col).to_numpy(zero_copy_only=False),
                 batch.column(b_col).to_numpy(zero_copy_only=False),
             )
-        else:
-            for a, b in zip(batch.column(a_col).to_pylist(), batch.column(b_col).to_pylist()):
-                uf.union(a, b)
-    return uf.components() if uf is not None else {}
+            continue
+        a_arr = batch.column(a_col).combine_chunks()
+        b_arr = batch.column(b_col).combine_chunks()
+        cat = pa.concat_arrays([a_arr, b_arr])
+        grew = False
+        for k in pc.unique(cat).to_pylist():
+            if k not in code_of:
+                code_of[k] = len(keys)
+                keys.append(k)
+                grew = True
+        if grew or keys_arr is None:
+            keys_arr = pa.array(keys)
+        codes = (
+            pc.index_in(cat, value_set=keys_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uf.absorb(codes[: len(a_arr)], codes[len(a_arr):])
+    if uf is None:
+        return {}
+    if int_ids:
+        return uf.components()
+    vals, comp = uf.components_arrays()  # codes and per-component min CODE
+    if vals.shape[0] == 0:
+        return {}
+    import pandas as pd
+
+    keys_np = np.asarray(keys, dtype=object)
+    node_keys = keys_np[vals]
+    rep = pd.Series(node_keys).groupby(comp).transform("min")
+    return dict(zip(node_keys.tolist(), rep.tolist()))
 
 
 def label_propagation(

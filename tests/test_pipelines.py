@@ -729,6 +729,35 @@ def test_array_unionfind_matches_dict_and_is_fast(ray_session):
     assert wall < 10.0, f"2M-edge driver CC took {wall:.1f}s"
 
 
+def test_connected_components_ds_string_ids_match_dict(ray_session):
+    """The non-integer-id path of connected_components_ds (vectorized
+    intern + ArrayUnionFind + min-key-VALUE representative) must equal the
+    per-edge dict UnionFind — including lexicographic min-rep semantics
+    and self-loop handling — across multiple blocks with overlapping
+    keys."""
+    import pyarrow as pa
+    import ray.data
+
+    from plakar_ray.state.unionfind import UnionFind, connected_components_ds
+
+    rng = np.random.default_rng(5)
+    names = [f"url-{i:04d}" for i in rng.integers(0, 500, 4000)]
+    a = names[:2000]
+    b = names[2000:]
+    # self-loops + a chain that forces cross-block unions
+    a += ["loop", "c0", "c1", "c2"]
+    b += ["loop", "c1", "c2", "c0"]
+    tables = [
+        pa.table({"id_a": a[s : s + 700], "id_b": b[s : s + 700]})
+        for s in range(0, len(a), 700)
+    ]
+    d = UnionFind()
+    for x, y in zip(a, b):
+        d.union(x, y)
+    got = connected_components_ds(ray.data.from_arrow(tables))
+    assert got == d.components()
+
+
 # ------------------------------------------- substring-span dedup tests ---
 
 
