@@ -355,8 +355,13 @@ def _render_timeseries(stages: dict[str, list]) -> None:
             for name, ss in stages.items()
             if len(ss) >= 2
         }
+        # CPU is cumulative utime+stime since each PROCESS started, so a
+        # stage sampled later in the run would plot offset by everything
+        # burned before it: re-base each series to its first tick. (A
+        # worker exiting mid-stage still dips the sum — the series shows
+        # CPU of live pipeline processes, like the reference's sampler.)
         cpu = {
-            name: ([s[0] for s in ss], [s[3] for s in ss])
+            name: ([s[0] for s in ss], [s[3] - ss[0][3] for s in ss])
             for name, ss in stages.items()
             if len(ss) >= 2
         }

@@ -105,7 +105,9 @@ def main(argv: list[str] | None = None) -> int:
                 col = batch.column(id_col)
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                shard = (_mix64(_column_u64(col)) % np.uint64(n_shards)).astype(
+                # .copy(): _mix64 mutates in place, and _column_u64 can
+                # return a read-only zero-copy Arrow view (uint64 ids)
+                shard = (_mix64(_column_u64(col).copy()) % np.uint64(n_shards)).astype(
                     np.int32
                 )
                 return batch.append_column("shard", pa.array(shard))

@@ -689,7 +689,8 @@ def q_embedding_lsh_pairs(sf_dir: str) -> pa.Table:
     # deployment threshold for true near-dups is ~0.9, but the driver's
     # synthetic embeddings have no pairs that similar — 0.9 returned 0
     # rows at sf0.01 in r1-r4, making the query unverifiable. 0.5 emits
-    # ~500 sf0.01 rows so a driver row actually exercises the sketch →
+    # ~500 sf0.01 rows, and the query holds a section-3 window slot (see
+    # queries()) so its first driver row actually exercises the sketch →
     # piece → verify tail; the md5 twin (embedding_srp_pairs_md5) stays
     # the SQL-value-checked certificate for the family.
     from plakar_ray.stages.embed import hyperplane_lsh_pairs
@@ -1275,8 +1276,8 @@ def queries():
     #      substring_dedup_clean / url_snapshot_dedup / orders_by_region),
     #   2. then every other SQL-oracle query (46 SQL total),
     #   3. then the 4 highest-value rows-only queries (media_decode_stats
-    #      has never had any driver row; the other three are the raw
-    #      flagship twins of SQL-certified md5/fixed variants),
+    #      and embedding_lsh_pairs have never had any driver row; the
+    #      other two are raw flagship twins of SQL-certified variants),
     #   4. tail (past the window): rows-only twins whose families are
     #      already certified by an SQL-oracle sibling.
     return {
@@ -1330,12 +1331,16 @@ def queries():
         "cross_doc_dup_bytes_fixed": q_cross_doc_dup_bytes_fixed,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dup_spans_sa": q_substring_dup_spans_sa,
-        # -- 3. rows-only window slots: raw flagship twins --
+        # -- 3. rows-only window slots: never-driver-checked first, then
+        #       raw flagship twins (substring_dup_spans_winnow already has
+        #       an r3 driver row; embedding_lsh_pairs has none in any
+        #       round, so it takes the slot now that it emits rows) --
         "analyze_fastcdc": q_analyze_fastcdc,
         "minhash_lsh_clusters": q_minhash_lsh_clusters,
-        "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
         # ---- window boundary (50) ----
         # -- 4. tail: rows-only twins of SQL-certified families --
+        "substring_dup_spans_winnow": q_substring_dup_spans_winnow,
         "compare_algos": q_compare_algos,
         "resync_fastcdc": q_resync_fastcdc,
         "minhash_lsh_clusters_salted": q_minhash_lsh_clusters_salted,
@@ -1344,7 +1349,6 @@ def queries():
         "semantic_dedup": q_semantic_dedup,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "length_histogram": q_length_histogram,
         "pages_near_dup_clusters": q_pages_near_dup_clusters,
         "cross_doc_dup_bytes": q_cross_doc_dup_bytes,

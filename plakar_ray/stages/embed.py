@@ -21,6 +21,17 @@ def _merge_topk_driver(merged, k: int, exclude_self: bool) -> pa.Table:
     (the driver table is bounded by nq x k rows per block — small by
     contract). Exact semantics of the former pandas groupby merge: cosine
     desc, neighbor_id asc tie-break, rank 1..k, cosine rounded to 6dp."""
+    if len(merged) == 0 or "query_id" not in merged.columns:
+        # empty corpus: zero blocks reach the driver, the frame has no
+        # columns at all — return the canonical empty result directly
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
     qa = merged["query_id"].to_numpy()
     na = merged["neighbor_id"].to_numpy()
     ca = merged["cosine"].to_numpy()
@@ -117,7 +128,35 @@ def _fit_kmeans_sharded(
     driver over the full matrix — identical update rule, none of the
     ~0.2 s-per-pass Ray orchestration that would dominate a small fit.
     Scale runs always take the sharded path (the threshold is a byte
-    bound, not a row count, so wide embeddings cross over early)."""
+    bound, not a row count, so wide embeddings cross over early).
+
+    Determinism requires stable BLOCK ORDER: Ray Data's streaming
+    executor yields blocks in completion order by default, which would
+    permute the init sample rows and the float64 fold order run-to-run.
+    preserve_order is pinned for the duration of the fit (and restored
+    after) so both the init draw and every fold accumulate in block
+    order."""
+    import ray
+
+    exec_opts = ds.context.execution_options
+    saved_order = exec_opts.preserve_order
+    exec_opts.preserve_order = True
+    try:
+        return _fit_kmeans_sharded_ordered(
+            ds, n_clusters, vec_col, seed, n_iters, local_threshold_bytes
+        )
+    finally:
+        exec_opts.preserve_order = saved_order
+
+
+def _fit_kmeans_sharded_ordered(
+    ds,
+    n_clusters: int,
+    vec_col: str,
+    seed: int,
+    n_iters: int,
+    local_threshold_bytes: int,
+) -> np.ndarray | None:
     import ray
 
     n = ds.count()
@@ -281,7 +320,9 @@ def ivf_topk(
         ds = ds.materialize()
         cent = _fit_kmeans_sharded(ds, n_clusters, vec_col, seed)
         if cent is None:
-            cent = np.zeros((1, 1), dtype=np.float64)  # empty ds: no-op search
+            # empty ds: one zero centroid in QUERY dimensionality so the
+            # probe matmul below stays shape-valid and finds nothing
+            cent = np.zeros((1, np.asarray(queries).shape[-1]), dtype=np.float64)
     cent_ref = ray.put(cent)
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))

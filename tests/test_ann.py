@@ -108,6 +108,27 @@ def test_semantic_dedup_matches_local_rule(ray_session):
     assert same_cell_pairs and all(d in dropped for _, d in same_cell_pairs)
 
 
+def test_topk_empty_corpus(ray_session):
+    """An empty embedding corpus must yield an empty (schema-stable)
+    result from both search paths — not a shape error in the fallback
+    centroid matmul or a KeyError on the column-less driver frame."""
+    import ray.data
+
+    from plakar_ray.stages.embed import brute_force_topk, ivf_topk
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "embedding": pa.array([], type=pa.list_(pa.float32(), 64)),
+        }
+    )
+    q = np.random.default_rng(1).standard_normal((3, 64))
+    for fn in (brute_force_topk, ivf_topk):
+        t = fn(ray.data.from_arrow(empty), q, np.arange(3), k=5)
+        assert t.num_rows == 0
+        assert t.column_names == ["query_id", "rank", "neighbor_id", "cosine"]
+
+
 def test_sharded_kmeans_bounds_cells_on_skewed_input(ray_session):
     """The 100-TB contract of SemDeDup is that per-cell work stays
     bounded: K scales with n (target_cell_size) and the sharded Lloyd
